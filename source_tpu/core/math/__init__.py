@@ -1,0 +1,22 @@
+"""Math substrate: host vector types + device batched kernels."""
+
+from .vector import Vector3D, Point3D, Normal3D, Vector2D, Point2D
+from .affinematrix import AffineMatrix3D
+from .quaternion import Quaternion
+from .transform import (
+    translate, rotate_x, rotate_y, rotate_z, rotate_vector, rotate,
+    rotate_basis, to_cylindrical, from_cylindrical, extract_rotation,
+    extract_translation,
+)
+from .statsarray import StatsBin, StatsArray1D, StatsArray2D, StatsArray3D
+from . import batch, random, interp, polyroots
+
+__all__ = [
+    "Vector3D", "Point3D", "Normal3D", "Vector2D", "Point2D",
+    "AffineMatrix3D", "Quaternion",
+    "translate", "rotate_x", "rotate_y", "rotate_z", "rotate_vector",
+    "rotate", "rotate_basis", "to_cylindrical", "from_cylindrical",
+    "extract_rotation", "extract_translation",
+    "StatsBin", "StatsArray1D", "StatsArray2D", "StatsArray3D",
+    "batch", "random", "interp", "polyroots",
+]

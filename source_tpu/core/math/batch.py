@@ -1,0 +1,132 @@
+"""Device-side batched vector/transform math.
+
+This module is the TPU-native replacement for the reference's per-object
+Cython vector math (raysect/core/math/{vector,point,normal,affinematrix}.pyx):
+every operation acts on arrays of shape ``[..., 3]`` (or ``[..., 4, 4]`` for
+transforms) and is fully traceable under ``jax.jit`` / ``vmap`` / ``grad``.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+__all__ = [
+    "dot",
+    "cross",
+    "length",
+    "normalise",
+    "lerp",
+    "orthogonal",
+    "transform_point",
+    "transform_vector",
+    "transform_normal",
+    "make_frame",
+    "to_frame",
+    "from_frame",
+    "reflect",
+]
+
+
+def dot(a, b):
+    """Batched 3-vector dot product: [...,3] x [...,3] -> [...]."""
+    return jnp.sum(a * b, axis=-1)
+
+
+def cross(a, b):
+    """Batched 3-vector cross product."""
+    return jnp.cross(a, b)
+
+
+def length(v):
+    """Batched vector length."""
+    return jnp.sqrt(jnp.maximum(jnp.sum(v * v, axis=-1), 0.0))
+
+
+def normalise(v, eps=1e-30):
+    """Batched safe normalise."""
+    n2 = jnp.sum(v * v, axis=-1, keepdims=True)
+    return v * jnp.where(n2 > eps, 1.0 / jnp.sqrt(jnp.maximum(n2, eps)), 0.0)
+
+
+def lerp(a, b, t):
+    return a + (b - a) * t
+
+
+def orthogonal(v):
+    """An arbitrary unit vector orthogonal to v (vector.pyx orthogonal()).
+
+    Branchless: choose the smallest-magnitude component's axis.
+    """
+    ax = jnp.abs(v)
+    # one-hot of argmin(|v|)
+    m = jnp.argmin(ax, axis=-1)
+    axis = jnp.eye(3, dtype=v.dtype)[m]
+    return normalise(jnp.cross(v, axis))
+
+
+def _mat3_apply(m3, v):
+    """[..., 3, 3] x [..., 3] -> [..., 3] as explicit multiply-adds.
+
+    Written without einsum/dot so XLA keeps it on the VPU in full f32 —
+    the TPU MXU's default bf16 precision is not acceptable for ray
+    geometry (errors ~1e-2 would break epsilon offsets).
+    """
+    x = v[..., 0:1]
+    y = v[..., 1:2]
+    z = v[..., 2:3]
+    return m3[..., :, 0] * x + m3[..., :, 1] * y + m3[..., :, 2] * z
+
+
+def transform_point(m, p):
+    """Affine-transform points. m: [...,4,4], p: [...,3] -> [...,3]."""
+    return _mat3_apply(m[..., :3, :3], p) + m[..., :3, 3]
+
+
+def transform_vector(m, v):
+    """Transform vectors (no translation)."""
+    return _mat3_apply(m[..., :3, :3], v)
+
+
+def transform_normal(m_inv, n):
+    """Transform normals with the transpose of the INVERSE matrix
+    (normal.pyx:38 semantics). ``m_inv`` must be the inverse of the
+    coordinate transform."""
+    # transpose on the 3x3 block
+    m3t = jnp.swapaxes(m_inv[..., :3, :3], -1, -2)
+    return _mat3_apply(m3t, n)
+
+
+def make_frame(normal):
+    """Build an orthonormal (tangent, bitangent, normal) frame per normal.
+
+    Equivalent to the reference's ``_generate_surface_transforms``
+    (optical/material/material.pyx:393-422). Returns (t, b, n) each [...,3],
+    using the branchless Duff et al. construction (differentiable, no
+    divergence).
+    """
+    n = normal
+    s = jnp.where(n[..., 2] >= 0.0, 1.0, -1.0)
+    a = -1.0 / (s + n[..., 2])
+    b = n[..., 0] * n[..., 1] * a
+    t = jnp.stack(
+        [1.0 + s * n[..., 0] * n[..., 0] * a, s * b, -s * n[..., 0]], axis=-1
+    )
+    bt = jnp.stack([b, s + n[..., 1] * n[..., 1] * a, -n[..., 1]], axis=-1)
+    return t, bt, n
+
+
+def to_frame(v, t, b, n):
+    """World->surface frame: components of v along (t, b, n)."""
+    return jnp.stack([dot(v, t), dot(v, b), dot(v, n)], axis=-1)
+
+
+def from_frame(v, t, b, n):
+    """Surface->world frame."""
+    return (
+        v[..., 0:1] * t + v[..., 1:2] * b + v[..., 2:3] * n
+    )
+
+
+def reflect(d, n):
+    """Mirror direction d about normal n."""
+    return d - 2.0 * dot(d, n)[..., None] * n

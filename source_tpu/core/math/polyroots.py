@@ -1,0 +1,155 @@
+"""Vectorized polynomial root solvers (quadratic/cubic/quartic).
+
+TPU-native replacement for raysect/core/math/cython/utility.pyx
+``solve_quadratic/solve_cubic/solve_quartic`` (utility.pxd:96-109). All
+functions are branchless and batched: they return fixed-size root arrays plus
+validity masks, so they trace cleanly under ``jit``/``vmap`` and are used by
+the analytic primitive hit kernels (sphere/cylinder/cone quadratics, torus
+quartic — primitive/torus.pyx:46-90).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+__all__ = ["solve_quadratic", "solve_cubic", "solve_quartic"]
+
+_INF = jnp.inf
+
+
+def solve_quadratic(a, b, c, eps=1e-30):
+    """Real roots of a x^2 + b x + c = 0.
+
+    Returns (roots[..., 2], valid[..., 2]) with roots sorted ascending where
+    valid; invalid lanes hold +inf. Uses the numerically-stable citardauq
+    formulation to avoid cancellation.
+    """
+    d = b * b - 4.0 * a * c
+    has_roots = d >= 0.0
+    sq = jnp.sqrt(jnp.maximum(d, 0.0))
+    q = -0.5 * (b + jnp.sign(b) * sq)
+    # handle b == 0: q = -0.5 * sq * sign -> 0; fall back to symmetric form
+    q = jnp.where(b == 0.0, -0.5 * sq, q)
+    lin = jnp.abs(a) < eps
+    r0 = jnp.where(lin, -c / jnp.where(jnp.abs(b) < eps, 1.0, b), q / jnp.where(jnp.abs(a) < eps, 1.0, a))
+    r1 = jnp.where(lin, _INF, c / jnp.where(jnp.abs(q) < eps, 1.0, q))
+    v1 = has_roots & ~lin & (jnp.abs(q) >= eps)
+    v0 = jnp.where(lin, jnp.abs(b) >= eps, has_roots)
+    lo = jnp.minimum(r0, jnp.where(v1, r1, r0))
+    hi = jnp.maximum(r0, jnp.where(v1, r1, r0))
+    roots = jnp.stack([jnp.where(v0, lo, _INF), jnp.where(v1, hi, _INF)], axis=-1)
+    valid = jnp.stack([v0, v1], axis=-1)
+    return roots, valid
+
+
+def _cbrt(x):
+    return jnp.sign(x) * jnp.abs(x) ** (1.0 / 3.0)
+
+
+def solve_cubic(a, b, c, d):
+    """Real roots of a x^3 + b x^2 + c x + d = 0 (a != 0 assumed).
+
+    Returns (roots[..., 3], valid[..., 3]); invalid lanes +inf, roots sorted.
+    Trigonometric (Viete) method for the three-real-root case, Cardano for
+    the single-root case — both branchless via where-select.
+    """
+    inv_a = 1.0 / a
+    p = b * inv_a
+    q = c * inv_a
+    r = d * inv_a
+    # depressed cubic t^3 + A t + B, x = t - p/3
+    A = q - p * p / 3.0
+    B = (2.0 * p * p * p - 9.0 * p * q + 27.0 * r) / 27.0
+    disc = (B * B) / 4.0 + (A * A * A) / 27.0
+    shift = -p / 3.0
+
+    # one real root (disc > 0): Cardano
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    u = _cbrt(-B / 2.0 + sq)
+    v = _cbrt(-B / 2.0 - sq)
+    single = u + v + shift
+
+    # three real roots (disc <= 0): trigonometric
+    Am = jnp.minimum(A, -1e-30)  # A < 0 in this regime
+    m = 2.0 * jnp.sqrt(-Am / 3.0)
+    arg = jnp.clip(3.0 * B / (Am * m), -1.0, 1.0)
+    theta = jnp.arccos(arg) / 3.0
+    k = jnp.arange(3.0)
+    trip = m * jnp.cos(theta[..., None] - 2.0 * jnp.pi * k / 3.0) + shift[..., None]
+
+    one = disc > 0.0
+    roots = jnp.where(
+        one[..., None],
+        jnp.stack([single, jnp.full_like(single, _INF), jnp.full_like(single, _INF)], axis=-1),
+        trip,
+    )
+    valid = jnp.where(
+        one[..., None],
+        jnp.stack([jnp.ones_like(one), jnp.zeros_like(one), jnp.zeros_like(one)], axis=-1),
+        jnp.ones(roots.shape, dtype=bool),
+    )
+    roots = jnp.where(valid, roots, _INF)
+    roots = jnp.sort(roots, axis=-1)
+    return roots, jnp.isfinite(roots)
+
+
+def solve_quartic(a, b, c, d, e, newton_iters=2):
+    """Real roots of a x^4 + b x^3 + c x^2 + d x + e = 0 (a != 0 assumed).
+
+    Ferrari resolvent-cubic method, fully batched; optional Newton polishing
+    for f32 robustness (the torus intersection is sensitive —
+    primitive/torus.pyx quartic path). Returns (roots[..., 4], valid[..., 4])
+    sorted ascending with invalid lanes +inf.
+    """
+    inv_a = 1.0 / a
+    b_, c_, d_, e_ = b * inv_a, c * inv_a, d * inv_a, e * inv_a
+    # depressed quartic y^4 + p y^2 + q y + r, x = y - b/4
+    p = c_ - 3.0 * b_ * b_ / 8.0
+    q = d_ - b_ * c_ / 2.0 + b_ * b_ * b_ / 8.0
+    r = (
+        e_
+        - b_ * d_ / 4.0
+        + b_ * b_ * c_ / 16.0
+        - 3.0 * b_ * b_ * b_ * b_ / 256.0
+    )
+    shift = -b_ / 4.0
+
+    # resolvent cubic: z^3 - p z^2 - 4 r z + (4 p r - q^2) = 0; pick largest real z
+    zr, zv = solve_cubic(
+        jnp.ones_like(p), -p, -4.0 * r, 4.0 * p * r - q * q
+    )
+    z = jnp.max(jnp.where(zv, zr, -_INF), axis=-1)
+
+    # factor into two quadratics y^2 +/- s y + (z/2 -/+ q/(2s))
+    s2 = jnp.maximum(z - p, 0.0)
+    s = jnp.sqrt(s2)
+    safe_s = jnp.where(s > 1e-12, s, 1.0)
+    t0 = z / 2.0 - q / (2.0 * safe_s)
+    t1 = z / 2.0 + q / (2.0 * safe_s)
+    # s == 0 degenerate: y^2 = (-p +/- sqrt(p^2-4r))/2
+    deg = s <= 1e-12
+    dd = jnp.maximum(p * p - 4.0 * r, 0.0)
+    t0 = jnp.where(deg, (z + jnp.sqrt(dd)) / 2.0, t0)
+    t1 = jnp.where(deg, (z - jnp.sqrt(dd)) / 2.0, t1)
+
+    r01, v01 = solve_quadratic(jnp.ones_like(s), -s, t0)
+    r23, v23 = solve_quadratic(jnp.ones_like(s), s, t1)
+    roots = jnp.concatenate([r01, r23], axis=-1) + shift[..., None]
+    valid = jnp.concatenate([v01, v23], axis=-1)
+    roots = jnp.where(valid, roots, _INF)
+
+    # Newton polish (helps f32 precision on the torus quartic)
+    def poly(x):
+        return (((a[..., None] * x + b[..., None]) * x + c[..., None]) * x + d[..., None]) * x + e[..., None]
+
+    def dpoly(x):
+        return ((4.0 * a[..., None] * x + 3.0 * b[..., None]) * x + 2.0 * c[..., None]) * x + d[..., None]
+
+    for _ in range(newton_iters):
+        f = poly(roots)
+        df = dpoly(roots)
+        step = f / jnp.where(jnp.abs(df) > 1e-12, df, 1.0)
+        roots = jnp.where(valid & jnp.isfinite(roots), roots - step, roots)
+
+    roots = jnp.sort(jnp.where(valid, roots, _INF), axis=-1)
+    return roots, jnp.isfinite(roots)

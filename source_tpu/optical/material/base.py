@@ -1,0 +1,137 @@
+"""Optical material base classes and the device compile contract.
+
+TPU-native re-design of raysect/optical/material/material.pyx. The
+reference dispatches ``evaluate_surface``/``evaluate_volume`` virtually per
+intersection (material.pyx:65-115); here every material *compiles* into rows
+of flat device tables and the wavefront kernel evaluates all material types
+branchlessly with masked select (SURVEY.md §7 "materials become branchless
+switch over material ids").
+
+Compiled layout per material id:
+  mat_type     i32                      — MAT_* code
+  mat_params   f32[NPARAMS]             — static scalars (roughness, ...)
+  mat_spectra  f32[NSLOTS, bins]        — spectral curves baked onto the
+                                          render's wavelength grid per
+                                          spectral slice
+  mat_scalars  f32[NSCALARS]            — per-slice band averages (e.g. the
+                                          dielectric's slice-average index,
+                                          dielectric.pyx:176-177)
+
+Slot meanings by type are documented in each subclass.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = [
+    "Material",
+    "NullSurface",
+    "NullVolume",
+    "NullMaterial",
+    "AbsorbingSurface",
+    "MAT_ABSORBER",
+    "MAT_LAMBERT",
+    "MAT_EMITTER",
+    "MAT_NULL",
+    "MAT_CONDUCTOR",
+    "MAT_ROUGH_CONDUCTOR",
+    "MAT_DIELECTRIC",
+    "MAT_EMITTER_ANISO",
+    "MAT_CHECKERBOARD",
+    "NPARAMS",
+    "NSLOTS",
+    "NSCALARS",
+    "VOL_NONE",
+    "VOL_BEER",
+    "VOL_HOMOGENEOUS",
+    "VOL_INHOMOGENEOUS",
+]
+
+MAT_ABSORBER = 0
+MAT_LAMBERT = 1
+MAT_EMITTER = 2
+MAT_NULL = 3
+MAT_CONDUCTOR = 4
+MAT_ROUGH_CONDUCTOR = 5
+MAT_DIELECTRIC = 6
+MAT_EMITTER_ANISO = 7
+MAT_CHECKERBOARD = 8
+
+NPARAMS = 8
+NSLOTS = 4
+NSCALARS = 4
+
+# volume interaction kinds
+VOL_NONE = 0
+VOL_BEER = 1  # Beer-Lambert attenuation (dielectric.pyx:313-328)
+VOL_HOMOGENEOUS = 2  # constant volume emission (emitter/homogeneous.pyx:36)
+VOL_INHOMOGENEOUS = 3  # ray-marched emission (emitter/inhomogeneous.pyx:108)
+
+
+class Material:
+    """Optical material base (material.pyx:47-115).
+
+    ``importance`` weights the emitter for importance sampling; primitives
+    carrying a material with importance > 0 are collected by the compiled
+    ImportanceManager (optical/scenegraph/world.pyx:88-129).
+    """
+
+    MAT_TYPE = MAT_ABSORBER
+    VOLUME_KIND = VOL_NONE
+
+    def __init__(self):
+        self._importance = 0.0
+        self.primitives = []
+
+    @property
+    def importance(self):
+        return self._importance
+
+    @importance.setter
+    def importance(self, value):
+        if value < 0:
+            raise ValueError("Material sampling importance cannot be less than zero.")
+        self._importance = float(value)
+        for primitive in self.primitives:
+            primitive.notify_material_change()
+
+    # --- compile contract --------------------------------------------------------
+
+    def compile_params(self):
+        """Static scalar parameters -> f32[NPARAMS]."""
+        return np.zeros(NPARAMS, dtype=np.float64)
+
+    def compile_spectra(self, min_wavelength, max_wavelength, bins):
+        """Spectral curve slots baked onto the render grid -> [NSLOTS, bins]."""
+        return np.zeros((NSLOTS, bins), dtype=np.float64)
+
+    def compile_scalars(self, min_wavelength, max_wavelength):
+        """Per-spectral-slice band-average scalars -> f32[NSCALARS]."""
+        return np.zeros(NSCALARS, dtype=np.float64)
+
+
+class AbsorbingSurface(Material):
+    """Perfectly absorbing terminator (absorber.pyx:37)."""
+
+    MAT_TYPE = MAT_ABSORBER
+
+
+class NullSurface(Material):
+    """Pass-through surface: the ray is re-launched on the far side without
+    counting a bounce (material.pyx:118-160)."""
+
+    MAT_TYPE = MAT_NULL
+
+
+class NullVolume(Material):
+    """Surface-only material base: no volume response (material.pyx:163)."""
+
+    MAT_TYPE = MAT_ABSORBER
+    VOLUME_KIND = VOL_NONE
+
+
+class NullMaterial(NullSurface):
+    """Completely transparent material (material.pyx:196)."""
+
+    MAT_TYPE = MAT_NULL

@@ -1,0 +1,449 @@
+"""Wavefront path-trace megakernel.
+
+TPU-native replacement for the reference's recursive estimator
+(optical/ray.pyx:338-455 ``trace``; material dispatch per SURVEY.md §3.2).
+The recursion becomes an iterative loop over bounce depth with a ray-state
+SoA; materials are evaluated branchlessly by masked select over material
+type codes; Russian roulette, one-sample MIS (material.pyx:327-352), the
+dielectric path roulette (dielectric.pyx:248-302) and volume responses
+(Beer-Lambert dielectric.pyx:313-328, homogeneous emitters) all preserve the
+reference's exact estimator so images converge to the same answer.
+
+Two drivers share the step body:
+  * ``trace_rays`` — ``lax.while_loop`` that exits when every ray has
+    terminated (fast forward rendering);
+  * ``trace_rays_diff`` — fixed-length ``lax.scan`` with rematerialised steps
+    (reverse-mode differentiable w.r.t. the CompiledScene pytree).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from ..compiler.scene import CompiledScene
+from ..core.math import batch as vmath
+from ..core.math import random as vrand
+from ..optical.material.base import (
+    MAT_ABSORBER,
+    MAT_CHECKERBOARD,
+    MAT_CONDUCTOR,
+    MAT_DIELECTRIC,
+    MAT_EMITTER,
+    MAT_EMITTER_ANISO,
+    MAT_LAMBERT,
+    MAT_NULL,
+    MAT_ROUGH_CONDUCTOR,
+    VOL_BEER,
+    VOL_HOMOGENEOUS,
+)
+from .intersect import HitRecord, entity_contains, intersect_scene
+
+__all__ = ["RayConfig", "RayState", "init_rays", "trace_rays", "trace_rays_diff"]
+
+_INF = jnp.inf
+_PI = jnp.pi
+
+
+@dataclasses.dataclass(frozen=True)
+class RayConfig:
+    """Static per-render ray parameters (optical/ray.pyx:85-126 defaults)."""
+
+    max_depth: int = 32
+    extinction_prob: float = 0.1
+    extinction_min_depth: int = 3
+    importance_sampling: bool = True
+    important_path_weight: float = 0.25
+    max_iters: int = 256  # wavefront loop bound (null hops excluded from depth)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class RayState:
+    origin: Any  # f32[N,3]
+    direction: Any  # f32[N,3]
+    throughput: Any  # f32[N,B]
+    radiance: Any  # f32[N,B]
+    alive: Any  # bool[N]
+    depth: Any  # i32[N]
+
+
+def init_rays(origin, direction, bins, weight=None):
+    """Fresh ray state for a batch of camera rays."""
+    N = origin.shape[0]
+    throughput = jnp.ones((N, bins), origin.dtype)
+    if weight is not None:
+        throughput = throughput * weight[:, None]
+    return RayState(
+        origin=origin,
+        direction=direction,
+        throughput=throughput,
+        radiance=jnp.zeros((N, bins), origin.dtype),
+        alive=jnp.ones(N, dtype=bool),
+        depth=jnp.zeros(N, dtype=jnp.int32),
+    )
+
+
+# --- importance sampling (optical/scenegraph/world.pyx:134-253) -----------------
+
+
+def _important_cone(scene: CompiledScene, point):
+    """Per-sphere cone geometry from a point: axis[N,I,3], cos_max[N,I]."""
+    to_c = scene.imp_centre[None, :, :] - point[:, None, :]  # [N,I,3]
+    dist2 = jnp.sum(to_c * to_c, axis=-1)
+    dist = jnp.sqrt(jnp.maximum(dist2, 1e-30))
+    axis = to_c / dist[..., None]
+    r = scene.imp_radius[None, :]
+    inside = dist <= r
+    sin2 = jnp.clip((r / dist) ** 2, 0.0, 1.0)
+    cos_max = jnp.sqrt(jnp.maximum(1.0 - sin2, 0.0))
+    # origin inside the sphere -> sample the full sphere (cos_max = -1)
+    cos_max = jnp.where(inside, -1.0, cos_max)
+    return axis, cos_max
+
+
+def important_direction_sample(scene: CompiledScene, point, u):
+    """Sample a direction toward an important primitive
+    (world.pyx:155-198). ``u`` is [N,3] uniforms."""
+    axis, cos_max = _important_cone(scene, point)
+    # pick sphere by cdf
+    idx = jnp.searchsorted(scene.imp_cdf, u[:, 0], side="left")
+    idx = jnp.clip(idx, 0, scene.imp_cdf.shape[0] - 1)
+    ax = jnp.take_along_axis(axis, idx[:, None, None], axis=1)[:, 0]
+    cm = jnp.take_along_axis(cos_max, idx[:, None], axis=1)[:, 0]
+    local = vrand.vector_cone_uniform(u[:, 1], u[:, 2], cm)
+    t, b, n = vmath.make_frame(ax)
+    return vmath.from_frame(local, t, b, n)
+
+
+def important_direction_pdf(scene: CompiledScene, point, direction):
+    """Mixture pdf over all important spheres (world.pyx:203-253)."""
+    axis, cos_max = _important_cone(scene, point)
+    c = jnp.sum(axis * direction[:, None, :], axis=-1)  # [N,I]
+    solid = 2.0 * _PI * (1.0 - cos_max)
+    pdf_i = jnp.where(c >= cos_max, 1.0 / jnp.maximum(solid, 1e-12), 0.0)
+    return jnp.sum(scene.imp_weight[None, :] * pdf_i, axis=-1)
+
+
+# --- material helpers ------------------------------------------------------------
+
+
+def _conductor_fresnel(ci, n, k):
+    """Spectral Fresnel reflectivity for a conducting interface
+    (conductor.pyx:77-149). ci [N,1] |cos|, n/k [N,B]."""
+    ci2 = ci * ci
+    n2k2 = n * n + k * k
+    two_n_ci = 2.0 * n * ci
+    rs = (n2k2 - two_n_ci + ci2) / jnp.maximum(n2k2 + two_n_ci + ci2, 1e-30)
+    rp_num = n2k2 * ci2 - two_n_ci + 1.0
+    rp_den = n2k2 * ci2 + two_n_ci + 1.0
+    rp = rp_num / jnp.maximum(rp_den, 1e-30)
+    return 0.5 * (rs + rp)
+
+
+def _ggx_sample(u1, u2, rough):
+    """Sample a GGX half-vector in the +z frame."""
+    a2 = rough * rough
+    phi = 2.0 * _PI * u2
+    ct2 = (1.0 - u1) / jnp.maximum(1.0 + (a2 * a2 - 1.0) * u1, 1e-12)
+    ct = jnp.sqrt(jnp.clip(ct2, 0.0, 1.0))
+    st = jnp.sqrt(jnp.clip(1.0 - ct2, 0.0, 1.0))
+    return jnp.stack([st * jnp.cos(phi), st * jnp.sin(phi), ct], axis=-1)
+
+
+def _ggx_d(ct_h, rough):
+    a2 = (rough * rough) ** 2
+    d = ct_h * ct_h * (a2 - 1.0) + 1.0
+    return a2 / jnp.maximum(_PI * d * d, 1e-12)
+
+
+def _smith_g1(ct, rough):
+    a2 = (rough * rough) ** 2
+    return 2.0 * ct / jnp.maximum(ct + jnp.sqrt(a2 + (1.0 - a2) * ct * ct), 1e-12)
+
+
+# --- the step body -----------------------------------------------------------------
+
+
+def _surface_interaction(scene: CompiledScene, cfg: RayConfig, state: RayState,
+                         rec: HitRecord, u):
+    """Evaluate all surface material responses for the ray batch and return
+    (new_origin, new_direction, throughput_mul[N,B], emission[N,B],
+    continues[N], counts_depth[N])."""
+    N = state.origin.shape[0]
+    B = state.throughput.shape[1]
+    dtype = state.origin.dtype
+
+    mat_id = scene.entity_material[jnp.maximum(rec.entity, 0)]
+    mat_types = jnp.asarray(scene.mat_types, jnp.int32)[mat_id]  # [N]
+    spectra = scene.mat_spectra[mat_id]  # [N, NSLOTS, B]
+    params = scene.mat_params[mat_id]  # [N, NPARAMS]
+    scalars = scene.mat_scalars[mat_id]  # [N, NSCALARS]
+
+    d = state.direction
+    n = rec.normal  # outward solid normal
+    cos_in = -vmath.dot(d, n)  # >0 when hitting the front/outside face
+    # shading normal faces the incident ray (ContinuousBSDF normal flip)
+    n_sh = jnp.where(cos_in[:, None] >= 0.0, n, -n)
+    abs_cos_in = jnp.abs(cos_in)
+
+    # surface frame for hemisphere sampling
+    t_f, b_f, n_f = vmath.make_frame(n_sh)
+
+    # reflection/transmission launch origins relative to the incident side
+    front = cos_in >= 0.0
+    refl_origin = jnp.where(front[:, None], rec.outside_point, rec.inside_point)
+    trans_origin = jnp.where(front[:, None], rec.inside_point, rec.outside_point)
+
+    new_origin = refl_origin
+    new_direction = d
+    thr_mul = jnp.zeros((N, B), dtype)
+    emission = jnp.zeros((N, B), dtype)
+    continues = jnp.zeros(N, dtype=bool)
+    counts_depth = jnp.ones(N, dtype=bool)
+
+    present = set(scene.mat_types)
+
+    # --- emitters (terminal) ----------------------------------------------------
+    if MAT_EMITTER in present:
+        m = mat_types == MAT_EMITTER
+        emission = jnp.where(m[:, None], spectra[:, 0, :], emission)
+    if MAT_EMITTER_ANISO in present:
+        m = mat_types == MAT_EMITTER_ANISO
+        power = params[:, 0]
+        factor = jnp.abs(cos_in) ** power
+        emission = jnp.where(m[:, None], spectra[:, 0, :] * factor[:, None], emission)
+    if MAT_CHECKERBOARD in present:
+        m = mat_types == MAT_CHECKERBOARD
+        width = jnp.maximum(params[:, 0], 1e-12)
+        # local-space checker parity (checkerboard.pyx:39)
+        w2l = scene.leaf_w2l[rec.leaf]
+        p_loc = vmath.transform_point(w2l, rec.point)
+        cells = jnp.floor(p_loc / width[:, None]).astype(jnp.int32)
+        parity = (cells[:, 0] + cells[:, 1] + cells[:, 2]) % 2 == 0
+        emis = jnp.where(parity[:, None], spectra[:, 0, :], spectra[:, 1, :])
+        emission = jnp.where(m[:, None], emis, emission)
+
+    # --- null surface: pass through, depth exempt (material.pyx:118-160) --------
+    if MAT_NULL in present:
+        m = mat_types == MAT_NULL
+        continues = continues | m
+        counts_depth = jnp.where(m, False, counts_depth)
+        new_origin = jnp.where(m[:, None], trans_origin, new_origin)
+        thr_mul = jnp.where(m[:, None], 1.0, thr_mul)
+
+    # --- lambert with one-sample MIS ---------------------------------------------
+    if MAT_LAMBERT in present:
+        m = mat_types == MAT_LAMBERT
+        dir_bsdf = vmath.from_frame(
+            vrand.vector_hemisphere_cosine(u[:, 1], u[:, 2]), t_f, b_f, n_f
+        )
+        use_mis = cfg.importance_sampling and scene.has_importance
+        if use_mis:
+            w_imp = cfg.important_path_weight
+            pick_light = u[:, 0] < w_imp
+            dir_light = important_direction_sample(scene, rec.point, u[:, 3:6])
+            out_dir = jnp.where(pick_light[:, None], dir_light, dir_bsdf)
+            pdf_light = important_direction_pdf(scene, rec.point, out_dir)
+            cos_out = vmath.dot(out_dir, n_sh)
+            pdf_bsdf = jnp.maximum(cos_out, 0.0) / _PI
+            pdf = w_imp * pdf_light + (1.0 - w_imp) * pdf_bsdf
+        else:
+            out_dir = dir_bsdf
+            cos_out = vmath.dot(out_dir, n_sh)
+            pdf_bsdf = jnp.maximum(cos_out, 0.0) / _PI
+            pdf = pdf_bsdf
+        ok = m & (pdf > 1e-9) & (cos_out > 0.0)
+        # estimator: reflectivity * pdf_cosine / pdf  (lambert.pyx:92-106)
+        w_l = jnp.where(ok, pdf_bsdf / jnp.maximum(pdf, 1e-12), 0.0)
+        thr_mul = jnp.where(m[:, None], spectra[:, 0, :] * w_l[:, None], thr_mul)
+        new_direction = jnp.where(m[:, None], out_dir, new_direction)
+        new_origin = jnp.where(m[:, None], refl_origin, new_origin)
+        continues = continues | ok
+
+    # --- smooth conductor: mirror + spectral Fresnel (conductor.pyx:77-149) ------
+    if MAT_CONDUCTOR in present:
+        m = mat_types == MAT_CONDUCTOR
+        refl_dir = vmath.reflect(d, n_sh)
+        f = _conductor_fresnel(abs_cos_in[:, None], spectra[:, 0, :], spectra[:, 1, :])
+        thr_mul = jnp.where(m[:, None], f, thr_mul)
+        new_direction = jnp.where(m[:, None], refl_dir, new_direction)
+        new_origin = jnp.where(m[:, None], refl_origin, new_origin)
+        continues = continues | m
+
+    # --- rough conductor: GGX + Smith + conducting Fresnel (conductor.pyx:159) ---
+    if MAT_ROUGH_CONDUCTOR in present:
+        m = mat_types == MAT_ROUGH_CONDUCTOR
+        rough = jnp.clip(params[:, 0], 1e-3, 1.0)
+        h_local = _ggx_sample(u[:, 1], u[:, 2], rough)
+        h = vmath.from_frame(h_local, t_f, b_f, n_f)
+        wi = -d
+        wo = vmath.reflect(d, h)
+        ct_i = jnp.maximum(vmath.dot(wi, n_sh), 1e-6)
+        ct_o = vmath.dot(wo, n_sh)
+        ct_h = jnp.maximum(h_local[:, 2], 1e-6)
+        i_dot_h = jnp.maximum(vmath.dot(wi, h), 1e-6)
+        ok = m & (ct_o > 1e-6)
+        f = _conductor_fresnel(i_dot_h[:, None], spectra[:, 0, :], spectra[:, 1, :])
+        g = _smith_g1(ct_i, rough) * _smith_g1(jnp.maximum(ct_o, 1e-6), rough)
+        # weight for half-vector sampling: F * G * i.h / (cos_i * cos_h)
+        w_spec = jnp.where(ok, g * i_dot_h / (ct_i * ct_h), 0.0)
+        thr_mul = jnp.where(m[:, None], f * w_spec[:, None], thr_mul)
+        new_direction = jnp.where(m[:, None], wo, new_direction)
+        new_origin = jnp.where(m[:, None], refl_origin, new_origin)
+        continues = continues | ok
+
+    # --- dielectric: Snell + Fresnel path roulette (dielectric.pyx:165-302) ------
+    if MAT_DIELECTRIC in present:
+        m = mat_types == MAT_DIELECTRIC
+        n_int = scalars[:, 0]
+        n_ext = scalars[:, 1]
+        transmission_only = params[:, 0] > 0.5
+        # c1 follows the reference sign convention: n is the true outward
+        # normal, c1 = -n.d (>0 entering)
+        c1 = cos_in
+        entering = c1 >= 0.0
+        n1 = jnp.where(entering, n_ext, n_int)
+        n2 = jnp.where(entering, n_int, n_ext)
+        gamma = n1 / n2
+        c2s = 1.0 - gamma * gamma * (1.0 - c1 * c1)
+        tir = c2s <= 0.0
+        sq = jnp.sqrt(jnp.clip(c2s, 0.0, None))
+        temp_t = jnp.where(entering, gamma * c1 - sq, gamma * c1 + sq)
+        trans_dir = vmath.normalise(gamma[:, None] * d + temp_t[:, None] * n)
+        refl_dir = vmath.reflect(d, n)
+        c2 = -vmath.dot(n, trans_dir)
+        # fresnel (dielectric.pyx:304-308)
+        r1 = (n1 * c1 - n2 * c2) / jnp.where(jnp.abs(n1 * c1 + n2 * c2) > 1e-12, n1 * c1 + n2 * c2, 1e-12)
+        r2 = (n1 * c2 - n2 * c1) / jnp.where(jnp.abs(n1 * c2 + n2 * c1) > 1e-12, n1 * c2 + n2 * c1, 1e-12)
+        reflectivity = 0.5 * (r1 * r1 + r2 * r2)
+        transmit = transmission_only | (u[:, 0] < (1.0 - reflectivity))
+        transmit = jnp.where(tir, False, transmit)
+        dead_tir = tir & transmission_only
+        # path weights cancel (roulette prob == coefficient)
+        out_dir = jnp.where(transmit[:, None], trans_dir, refl_dir)
+        # launch side: transmitted rays continue beyond the surface,
+        # reflected rays stay on the incident side
+        origin_sel = jnp.where(transmit[:, None], trans_origin, refl_origin)
+        ok = m & ~dead_tir
+        thr_mul = jnp.where(m[:, None], jnp.where(ok[:, None], 1.0, 0.0), thr_mul)
+        new_direction = jnp.where(m[:, None], out_dir, new_direction)
+        new_origin = jnp.where(m[:, None], origin_sel, new_origin)
+        continues = continues | ok
+
+    # absorbers fall through: continues stays False, thr_mul 0
+    return new_origin, new_direction, thr_mul, emission, continues, counts_depth
+
+
+def _volume_interaction(scene: CompiledScene, state: RayState, rec: HitRecord):
+    """Apply volume responses along the traversed segment
+    (optical/ray.pyx:422-455). Static unrolled loop over volume-active
+    entities; containment tested at the segment midpoint."""
+    if not scene.volume_entities:
+        return state.throughput, jnp.zeros_like(state.radiance)
+    t_seg = jnp.where(rec.hit, rec.t, 0.0)
+    midpoint = state.origin + 0.5 * t_seg[:, None] * state.direction
+    inside = entity_contains(scene, midpoint)  # [N, E]
+    throughput = state.throughput
+    emission = jnp.zeros_like(state.radiance)
+    for e, mat_idx, kind in scene.volume_entities:
+        m = inside[:, e] & rec.hit
+        spec = scene.mat_spectra[mat_idx]  # [NSLOTS, B]
+        if kind == VOL_BEER:
+            # transmission^length (dielectric.pyx:313-328)
+            att = jnp.clip(spec[1][None, :], 0.0, None) ** t_seg[:, None]
+            throughput = jnp.where(m[:, None], throughput * att, throughput)
+        elif kind == VOL_HOMOGENEOUS:
+            emission = emission + jnp.where(
+                m[:, None], spec[0][None, :] * t_seg[:, None], 0.0
+            )
+    return throughput, emission
+
+
+def trace_step(scene: CompiledScene, cfg: RayConfig, state: RayState, step_key):
+    """One wavefront bounce. Returns the next RayState."""
+    N = state.origin.shape[0]
+    u = jax.random.uniform(step_key, (N, 8), state.origin.dtype)
+
+    # Russian roulette (optical/ray.pyx:380-388)
+    roulette_active = state.alive & (state.depth >= cfg.extinction_min_depth)
+    killed = roulette_active & (u[:, 6] < cfg.extinction_prob)
+    survive_scale = jnp.where(
+        roulette_active & ~killed, 1.0 / (1.0 - cfg.extinction_prob), 1.0
+    )
+    alive = state.alive & ~killed & (state.depth < cfg.max_depth)
+    throughput = state.throughput * survive_scale[:, None]
+
+    rec = intersect_scene(scene, state.origin, state.direction)
+
+    # volume stage over the traversed segment. Volume emission originates
+    # within the segment so it is weighted by the segment-start throughput;
+    # Beer-Lambert attenuation applies to everything arriving from beyond the
+    # segment (the surface response below). Exact for media that either
+    # attenuate or emit (reference NumericalIntegrator handles the mixed
+    # case by marching; see emitter/inhomogeneous.pyx:108-177).
+    thr_start = throughput
+    vol_state = RayState(
+        origin=state.origin,
+        direction=state.direction,
+        throughput=throughput,
+        radiance=state.radiance,
+        alive=alive,
+        depth=state.depth,
+    )
+    throughput, vol_emission = _volume_interaction(scene, vol_state, rec)
+    radiance = state.radiance + jnp.where(
+        alive[:, None], thr_start * vol_emission, 0.0
+    )
+
+    # surface stage
+    new_origin, new_dir, thr_mul, emission, continues, counts_depth = (
+        _surface_interaction(scene, cfg, state, rec, u)
+    )
+
+    active = alive & rec.hit
+    radiance = radiance + jnp.where(active[:, None], throughput * emission, 0.0)
+    throughput = jnp.where(active[:, None], throughput * thr_mul, throughput)
+    alive_next = active & continues & (jnp.max(throughput, axis=-1) > 0.0)
+    origin = jnp.where(active[:, None], new_origin, state.origin)
+    direction = jnp.where(active[:, None], new_dir, state.direction)
+    depth = state.depth + jnp.where(active & counts_depth, 1, 0)
+
+    return RayState(
+        origin=origin,
+        direction=direction,
+        throughput=throughput,
+        radiance=radiance,
+        alive=alive_next,
+        depth=depth,
+    )
+
+
+def trace_rays(scene: CompiledScene, cfg: RayConfig, state: RayState, key):
+    """Trace to termination with an early-exit while loop. Returns final state."""
+
+    def cond(carry):
+        i, st = carry
+        return (i < cfg.max_iters) & jnp.any(st.alive)
+
+    def body(carry):
+        i, st = carry
+        st = trace_step(scene, cfg, st, jax.random.fold_in(key, i))
+        return i + 1, st
+
+    _, final = jax.lax.while_loop(cond, body, (jnp.int32(0), state))
+    return final
+
+
+def trace_rays_diff(scene: CompiledScene, cfg: RayConfig, state: RayState, key):
+    """Fixed-iteration differentiable variant (lax.scan + remat per bounce)."""
+
+    @jax.checkpoint
+    def body(st, i):
+        return trace_step(scene, cfg, st, jax.random.fold_in(key, i)), None
+
+    final, _ = jax.lax.scan(body, state, jnp.arange(cfg.max_iters))
+    return final
