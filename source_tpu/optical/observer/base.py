@@ -1,0 +1,506 @@
+"""Observer framework: spectral configs, render engine, observer bases.
+
+TPU-native re-design of raysect/optical/observer/base/{observer,slice,
+pipeline,processor,sampler}.pyx. The reference farms per-pixel tasks to
+forked workers (SURVEY.md §3.1); here ``observe()`` compiles the scene per
+spectral slice, asks the frame sampler for a pixel task list, pads it into
+fixed-shape tiles, and runs a jitted wavefront render per tile — optionally
+sharded over a ``jax.sharding.Mesh`` (the DP axis is the pixel tile,
+SURVEY.md §2.12).
+
+Statistics flow: the device kernel returns per-pixel (sum, sum-of-squares,
+count) per pipeline channel; pipelines fold them into host StatsArrays with
+the same Welford merge the reference uses (statsarray.pyx combine_samples).
+"""
+
+from __future__ import annotations
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...compiler.scene import SpectralConfig, compile_scene
+from ...core.scenegraph.node import Observer as _SceneObserver
+from ...tracer.wavefront import RayConfig, init_rays, trace_rays
+from ...core.math import batch as vmath
+
+__all__ = [
+    "SpectralSlice",
+    "FrameSampler1D",
+    "FrameSampler2D",
+    "Pipeline",
+    "ObserverBase",
+    "Observer0D",
+    "Observer1D",
+    "Observer2D",
+]
+
+
+class SpectralSlice:
+    """A contiguous sub-range of the spectral bins (base/slice.pyx:32)."""
+
+    def __init__(self, min_wavelength, max_wavelength, bins, slice_bins, offset):
+        self.total_bins = int(bins)
+        self.bins = int(slice_bins)
+        self.offset = int(offset)
+        delta = (max_wavelength - min_wavelength) / bins
+        self.min_wavelength = min_wavelength + delta * offset
+        self.max_wavelength = min_wavelength + delta * (offset + slice_bins)
+
+    @property
+    def config(self):
+        return SpectralConfig(self.min_wavelength, self.max_wavelength, self.bins)
+
+
+class FrameSampler1D:
+    """Task generator contract (base/sampler.pyx:32)."""
+
+    def generate_tasks(self, pixels):
+        raise NotImplementedError
+
+
+class FrameSampler2D:
+    def generate_tasks(self, pixels):
+        raise NotImplementedError
+
+
+class Pipeline:
+    """Pipeline contract (base/pipeline.pyx:37-254), TPU formulation.
+
+    Device side: ``project(spectra, slice, sensitivity)`` maps per-sample
+    spectra [T, S, slice.bins] -> channel values [T, S, C].
+    Host side: ``initialise/update/finalise`` manage the StatsArray frames.
+    """
+
+    name = None
+
+    def n_channels(self, total_bins):
+        raise NotImplementedError
+
+    def project(self, spectra, slice_: SpectralSlice, sensitivity, px=None, py=None):
+        raise NotImplementedError
+
+    def initialise(self, shape, spectral_config, slices, quiet=False):
+        raise NotImplementedError
+
+    def update(self, pixel_ids, mean, m2, n):
+        """Fold a tile batch of per-pixel channel statistics into the frame.
+        pixel_ids: int array of flat pixel indices [T]; mean/m2 [T, C]; n [T]."""
+        raise NotImplementedError
+
+    def finalise(self):
+        pass
+
+
+def _slice_spectrum(min_wavelength, max_wavelength, bins, rays):
+    """Reference slicing algorithm (base/observer.pyx:311-340)."""
+    current = 0.0
+    start = 0
+    ranges = []
+    while start < bins:
+        current += bins / rays
+        end = round(current)
+        ranges.append((start, end))
+        start = end
+    return [
+        SpectralSlice(min_wavelength, max_wavelength, bins, end - start, start)
+        for start, end in ranges
+    ]
+
+
+class ObserverBase(_SceneObserver):
+    """Common observer machinery (base/observer.pyx:70-545).
+
+    Subclasses supply:
+      _pixel_shape                      — tuple of pixel dims ((,), (n,), (nx, ny))
+      _generate_rays_device(px, py, u) — camera-local rays [T, S, 3] x2 + weight [T, S]
+      _rays_per_sample                 — uniforms needed per camera sample
+      _pixel_sensitivity_array()       — per-pixel sensitivity, flat [n_pixels]
+    """
+
+    def __init__(self, parent=None, transform=None, name=None, pipelines=None,
+                 render_engine=None):
+        super().__init__(parent, transform, name)
+        self.pipelines = pipelines or []
+        self.render_engine = render_engine  # None -> single-device jit
+
+        # spectral configuration (base/observer.pyx:113-122 defaults)
+        self._min_wavelength = 375.0
+        self._max_wavelength = 740.0
+        self._spectral_bins = 15
+        self._spectral_rays = 1
+
+        # ray configuration
+        self._ray_extinction_prob = 0.01
+        self._ray_extinction_min_depth = 3
+        self._ray_max_depth = 500
+        self._ray_importance_sampling = True
+        self._ray_important_path_weight = 0.25
+
+        # sampling configuration
+        self.pixel_samples = 100
+        self.samples_per_task = 250  # kept for API parity; chunking knob
+        self.tile_size = 4096  # pixels per device batch
+        self.quiet = False
+        self.render_complete = False
+
+        # wavefront loop bound: paths longer than this are truncated; the
+        # reference's recursion depth cap is ray_max_depth
+        self.max_wavefront_iters = 64
+
+        self._stats_start = None
+        self._stats_rays = 0
+
+    # --- validated properties (base/observer.pyx:100-262) -----------------------
+
+    @property
+    def spectral_bins(self):
+        return self._spectral_bins
+
+    @spectral_bins.setter
+    def spectral_bins(self, value):
+        if value <= 0:
+            raise ValueError("The number of spectral bins must be greater than 0.")
+        if value < self._spectral_rays:
+            raise ValueError("Spectral bins cannot be less than spectral rays.")
+        self._spectral_bins = int(value)
+
+    @property
+    def spectral_rays(self):
+        return self._spectral_rays
+
+    @spectral_rays.setter
+    def spectral_rays(self, value):
+        if not 0 < value <= self._spectral_bins:
+            raise ValueError("Spectral rays must be in (0, spectral_bins].")
+        self._spectral_rays = int(value)
+
+    @property
+    def min_wavelength(self):
+        return self._min_wavelength
+
+    @min_wavelength.setter
+    def min_wavelength(self, value):
+        if value <= 0 or value >= self._max_wavelength:
+            raise ValueError("Minimum wavelength must be positive and below the maximum.")
+        self._min_wavelength = float(value)
+
+    @property
+    def max_wavelength(self):
+        return self._max_wavelength
+
+    @max_wavelength.setter
+    def max_wavelength(self, value):
+        if value <= self._min_wavelength:
+            raise ValueError("Maximum wavelength must be above the minimum.")
+        self._max_wavelength = float(value)
+
+    @property
+    def ray_extinction_prob(self):
+        return self._ray_extinction_prob
+
+    @ray_extinction_prob.setter
+    def ray_extinction_prob(self, value):
+        if not 0 <= value <= 1:
+            raise ValueError("Extinction probability must be in [0, 1].")
+        self._ray_extinction_prob = float(value)
+
+    @property
+    def ray_extinction_min_depth(self):
+        return self._ray_extinction_min_depth
+
+    @ray_extinction_min_depth.setter
+    def ray_extinction_min_depth(self, value):
+        if value < 0:
+            raise ValueError("Minimum extinction depth cannot be negative.")
+        self._ray_extinction_min_depth = int(value)
+
+    @property
+    def ray_max_depth(self):
+        return self._ray_max_depth
+
+    @ray_max_depth.setter
+    def ray_max_depth(self, value):
+        if value < 0:
+            raise ValueError("Maximum depth cannot be negative.")
+        self._ray_max_depth = int(value)
+
+    @property
+    def ray_importance_sampling(self):
+        return self._ray_importance_sampling
+
+    @ray_importance_sampling.setter
+    def ray_importance_sampling(self, value):
+        self._ray_importance_sampling = bool(value)
+
+    @property
+    def ray_important_path_weight(self):
+        return self._ray_important_path_weight
+
+    @ray_important_path_weight.setter
+    def ray_important_path_weight(self, value):
+        if not 0 <= value <= 1:
+            raise ValueError("Important path weight must be in [0, 1].")
+        self._ray_important_path_weight = float(value)
+
+    # --- subclass hooks ----------------------------------------------------------
+
+    @property
+    def _pixel_shape(self):
+        raise NotImplementedError
+
+    def _generate_rays_device(self, px, py, u):
+        raise NotImplementedError
+
+    _rays_per_sample = 2
+
+    def _pixel_sensitivity_array(self):
+        n = int(np.prod(self._pixel_shape)) if self._pixel_shape else 1
+        return np.ones(n, dtype=np.float32)
+
+    def _generate_tasks(self):
+        raise NotImplementedError
+
+    # --- observe -------------------------------------------------------------------
+
+    def _ray_config(self):
+        return RayConfig(
+            max_depth=self._ray_max_depth,
+            extinction_prob=self._ray_extinction_prob,
+            extinction_min_depth=self._ray_extinction_min_depth,
+            importance_sampling=self._ray_importance_sampling,
+            important_path_weight=self._ray_important_path_weight,
+            max_iters=self.max_wavefront_iters,
+        )
+
+    def observe(self, seed=None):
+        """Render a pass (base/observer.pyx:265-309)."""
+        if self.root is None or not hasattr(self.root, "primitives"):
+            raise RuntimeError("The observer must be attached to a World scenegraph.")
+        world = self.root
+
+        slices = _slice_spectrum(
+            self._min_wavelength, self._max_wavelength,
+            self._spectral_bins, self._spectral_rays,
+        )
+        scenes = [compile_scene(world, s.config) for s in slices]
+
+        shape = self._pixel_shape
+        self._initialise_pipelines(shape, slices)
+
+        tasks = np.asarray(self._generate_tasks(), dtype=np.int64)
+        if tasks.size == 0:
+            self.render_complete = True
+            return
+        self.render_complete = False
+
+        self._initialise_statistics(tasks)
+        cfg = self._ray_config()
+        key = jax.random.PRNGKey(
+            int(seed) if seed is not None else np.random.randint(0, 2**31 - 1)
+        )
+        cam_to_world = jnp.asarray(self.to_root().to_array(np.float32))
+        sensitivity_all = jnp.asarray(self._pixel_sensitivity_array())
+
+        T = int(self.tile_size)
+        n_tasks = tasks.shape[0]
+        n_tiles = (n_tasks + T - 1) // T
+        spp = int(self.pixel_samples)
+
+        for tile_idx in range(n_tiles):
+            chunk = tasks[tile_idx * T:(tile_idx + 1) * T]
+            pad = T - chunk.shape[0]
+            valid = np.ones(T, dtype=bool)
+            if pad:
+                chunk = np.concatenate([chunk, np.repeat(chunk[-1:], pad, axis=0)])
+                valid[-pad:] = False
+            flat_ids = self._task_to_flat(chunk)
+            px, py = self._task_to_pixel_coords(chunk)
+            tile_key = jax.random.fold_in(key, tile_idx)
+
+            # accumulate per-pipeline per-sample projections over slices
+            proj_sums = None
+            for s_idx, (slice_, scene) in enumerate(zip(slices, scenes)):
+                out = self._render_tile(
+                    scene, cfg, slice_,
+                    jnp.asarray(px), jnp.asarray(py),
+                    sensitivity_all[jnp.asarray(flat_ids)],
+                    cam_to_world, spp,
+                    jax.random.fold_in(tile_key, s_idx),
+                )
+                projections, segments = out
+                self._stats_rays += int(segments)
+                # each pipeline projects to its FULL channel count (spectral
+                # pipelines zero-fill outside the slice), so slices just sum
+                if proj_sums is None:
+                    proj_sums = list(projections)
+                else:
+                    for i, p in enumerate(projections):
+                        proj_sums[i] = proj_sums[i] + p
+
+            # fold per-sample sums into per-pixel statistics and update pipelines
+            for pipe, proj in zip(self.pipelines, proj_sums):
+                vals = np.asarray(proj, dtype=np.float64)  # [T, S, C]
+                mean = vals.mean(axis=1)
+                m2 = ((vals - mean[:, None, :]) ** 2).sum(axis=1)
+                n = np.full(mean.shape[:1], spp, dtype=np.int64)
+                pipe.update(flat_ids[valid], mean[valid], m2[valid], n[valid])
+
+            self._update_statistics(tile_idx, n_tiles)
+
+        self._finalise_pipelines()
+        self._finalise_statistics()
+
+    # --- device kernel ---------------------------------------------------------------
+
+    def _render_tile(self, scene, cfg, slice_, px, py, sensitivity, cam_to_world,
+                     spp, key):
+        """Trace one pixel tile for one spectral slice; returns per-pipeline
+        per-sample projections and the traced segment count."""
+        projections = tuple(self.pipelines)
+
+        def kernel(scene, px, py, sensitivity, cam_to_world, key):
+            T = px.shape[0]
+            u = jax.random.uniform(key, (T, spp, self._rays_per_sample))
+            o_loc, d_loc, w = self._generate_rays_device(
+                px[:, None], py[:, None], u
+            )
+            o = vmath.transform_point(cam_to_world, o_loc.reshape(-1, 3))
+            d = vmath.normalise(vmath.transform_vector(cam_to_world, d_loc.reshape(-1, 3)))
+            state = init_rays(o, d, slice_.bins, weight=w.reshape(-1))
+            final = trace_rays(scene, cfg, state, jax.random.fold_in(key, 7))
+            spectra = final.radiance.reshape(T, spp, slice_.bins)
+            outs = tuple(
+                pipe.project(spectra, slice_, sensitivity, px, py)
+                for pipe in projections
+            )
+            return outs, final.segments
+
+        if not hasattr(self, "_kernel_cache"):
+            self._kernel_cache = {}
+        cache_key = (id(type(self)), slice_.bins, spp, cfg, tuple(id(p) for p in self.pipelines))
+        fn = self._kernel_cache.get(cache_key)
+        if fn is None:
+            fn = jax.jit(kernel)
+            self._kernel_cache[cache_key] = fn
+        return fn(scene, px, py, sensitivity, cam_to_world, key)
+
+    # --- pipeline + statistics plumbing ------------------------------------------------
+
+    def _initialise_pipelines(self, shape, slices):
+        spectral_config = SpectralConfig(
+            self._min_wavelength, self._max_wavelength, self._spectral_bins
+        )
+        for pipe in self.pipelines:
+            pipe.initialise(shape, spectral_config, slices, quiet=self.quiet)
+
+    def _finalise_pipelines(self):
+        for pipe in self.pipelines:
+            pipe.finalise()
+
+    def _initialise_statistics(self, tasks):
+        self._stats_start = time.time()
+        self._stats_rays = 0
+        if not self.quiet:
+            print(f"{self.name or type(self).__name__}: observing, "
+                  f"{tasks.shape[0]} tasks x {self.pixel_samples} samples "
+                  f"x {self._spectral_rays} spectral rays")
+
+    def _update_statistics(self, tile_idx, n_tiles):
+        if not self.quiet:
+            elapsed = time.time() - self._stats_start
+            print(
+                f"  tile {tile_idx + 1}/{n_tiles} - {elapsed:0.2f}s "
+                f"({1e-3 * self._stats_rays / max(elapsed, 1e-9):0.1f}k rays/s)",
+                flush=True,
+            )
+
+    def _finalise_statistics(self):
+        elapsed = time.time() - self._stats_start
+        self.render_time = elapsed
+        self.rays_per_second = self._stats_rays / max(elapsed, 1e-9)
+        if not self.quiet:
+            print(
+                f"Render complete - time elapsed {elapsed:0.3f}s - "
+                f"{1e-3 * self.rays_per_second:0.1f}k rays/s"
+            )
+
+    # --- task helpers ----------------------------------------------------------------
+
+    def _task_to_flat(self, tasks):
+        raise NotImplementedError
+
+    def _task_to_pixel_coords(self, tasks):
+        raise NotImplementedError
+
+
+class Observer0D(ObserverBase):
+    """Single-sensor observer (base/observer.pyx:547)."""
+
+    @property
+    def _pixel_shape(self):
+        return ()
+
+    def _generate_tasks(self):
+        return np.zeros((1, 1), dtype=np.int64)
+
+    def _task_to_flat(self, tasks):
+        return np.zeros(tasks.shape[0], dtype=np.int64)
+
+    def _task_to_pixel_coords(self, tasks):
+        z = np.zeros(tasks.shape[0], dtype=np.int64)
+        return z, z
+
+
+class Observer1D(ObserverBase):
+    """Line of pixels (base/observer.pyx:717)."""
+
+    def __init__(self, pixels=1, frame_sampler=None, **kwargs):
+        super().__init__(**kwargs)
+        self.pixels = int(pixels)
+        self.frame_sampler = frame_sampler
+
+    @property
+    def _pixel_shape(self):
+        return (self.pixels,)
+
+    def _generate_tasks(self):
+        if self.frame_sampler is not None:
+            tasks = self.frame_sampler.generate_tasks((self.pixels,))
+            return np.asarray([(t[0] if isinstance(t, tuple) else t,) for t in tasks], dtype=np.int64).reshape(-1, 1)
+        return np.arange(self.pixels, dtype=np.int64).reshape(-1, 1)
+
+    def _task_to_flat(self, tasks):
+        return tasks[:, 0]
+
+    def _task_to_pixel_coords(self, tasks):
+        return tasks[:, 0], np.zeros(tasks.shape[0], dtype=np.int64)
+
+
+class Observer2D(ObserverBase):
+    """2D pixel-array observer (base/observer.pyx:896)."""
+
+    def __init__(self, pixels=(64, 64), frame_sampler=None, **kwargs):
+        super().__init__(**kwargs)
+        self.pixels = tuple(int(v) for v in pixels)
+        self.frame_sampler = frame_sampler
+
+    @property
+    def _pixel_shape(self):
+        return self.pixels
+
+    def _generate_tasks(self):
+        if self.frame_sampler is not None:
+            tasks = self.frame_sampler.generate_tasks(self.pixels)
+            return np.asarray(tasks, dtype=np.int64).reshape(-1, 2)
+        nx, ny = self.pixels
+        xs, ys = np.meshgrid(np.arange(nx), np.arange(ny), indexing="ij")
+        return np.stack([xs.ravel(), ys.ravel()], axis=1)
+
+    def _task_to_flat(self, tasks):
+        return tasks[:, 0] * self.pixels[1] + tasks[:, 1]
+
+    def _task_to_pixel_coords(self, tasks):
+        return tasks[:, 0], tasks[:, 1]

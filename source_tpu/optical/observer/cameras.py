@@ -46,10 +46,10 @@ def pinhole_rays(px, py, u1, u2, nx, ny, fov, dtype=jnp.float32):
     delta, sx, sy = pinhole_geometry(nx, ny, fov)
     cx = sx - delta * (px.astype(dtype) + 0.5)
     cy = sy - delta * (py.astype(dtype) + 0.5)
-    jx = (u1 - 0.5) * delta
-    jy = (u2 - 0.5) * delta
+    x = cx + (u1 - 0.5) * delta
+    y = cy + (u2 - 0.5) * delta
     direction = vmath.normalise(
-        jnp.stack([cx + jx, cy + jy, jnp.ones_like(cx)], axis=-1)
+        jnp.stack([x, y, jnp.ones_like(x)], axis=-1)
     )
     origin = jnp.zeros_like(direction)
     weight = direction[..., 2]
@@ -64,6 +64,7 @@ def orthographic_rays(px, py, u1, u2, nx, ny, width, dtype=jnp.float32):
     sy = 0.5 * ny * delta
     ox = sx - delta * (px.astype(dtype) + 0.5) + (u1 - 0.5) * delta
     oy = sy - delta * (py.astype(dtype) + 0.5) + (u2 - 0.5) * delta
+    ox, oy = jnp.broadcast_arrays(ox, oy)
     origin = jnp.stack([ox, oy, jnp.zeros_like(ox)], axis=-1)
     direction = jnp.broadcast_to(
         jnp.asarray([0.0, 0.0, 1.0], dtype), origin.shape

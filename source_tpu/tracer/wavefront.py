@@ -69,6 +69,7 @@ class RayState:
     radiance: Any  # f32[N,B]
     alive: Any  # bool[N]
     depth: Any  # i32[N]
+    segments: Any  # i32[] total path segments traced (rays/s accounting)
 
 
 def init_rays(origin, direction, bins, weight=None):
@@ -84,6 +85,7 @@ def init_rays(origin, direction, bins, weight=None):
         radiance=jnp.zeros((N, bins), origin.dtype),
         alive=jnp.ones(N, dtype=bool),
         depth=jnp.zeros(N, dtype=jnp.int32),
+        segments=jnp.zeros((), jnp.int32),
     )
 
 
@@ -393,6 +395,7 @@ def trace_step(scene: CompiledScene, cfg: RayConfig, state: RayState, step_key):
         radiance=state.radiance,
         alive=alive,
         depth=state.depth,
+        segments=state.segments,
     )
     throughput, vol_emission = _volume_interaction(scene, vol_state, rec)
     radiance = state.radiance + jnp.where(
@@ -419,6 +422,7 @@ def trace_step(scene: CompiledScene, cfg: RayConfig, state: RayState, step_key):
         radiance=radiance,
         alive=alive_next,
         depth=depth,
+        segments=state.segments + jnp.sum(alive.astype(jnp.int32)),
     )
 
 
