@@ -27,6 +27,30 @@ __all__ = [
 ]
 
 
+def safe_sqrt(x, min_val=0.0):
+    """sqrt with a NaN-free backward at x <= min_val (double-where pattern).
+
+    Reverse-mode through ``sqrt(max(x, 0))`` produces inf/NaN cotangents on
+    clamped lanes; masking the *input* first keeps gradients finite, which
+    the differentiable render path requires everywhere a discriminant or
+    norm can touch zero.
+    """
+    ok = x > min_val
+    return jnp.where(ok, jnp.sqrt(jnp.where(ok, x, 1.0)), 0.0)
+
+
+def safe_div(a, b, eps=1e-12):
+    """a / b with a NaN-free backward when |b| <= eps (result 0 there)."""
+    ok = jnp.abs(b) > eps
+    return jnp.where(ok, a / jnp.where(ok, b, 1.0), 0.0)
+
+
+def safe_pow(base, exp):
+    """base ** exp with NaN-free backward at base <= 0 (result 0 there)."""
+    ok = base > 0.0
+    return jnp.where(ok, jnp.where(ok, base, 1.0) ** exp, 0.0)
+
+
 def dot(a, b):
     """Batched 3-vector dot product: [...,3] x [...,3] -> [...]."""
     return jnp.sum(a * b, axis=-1)
@@ -38,14 +62,16 @@ def cross(a, b):
 
 
 def length(v):
-    """Batched vector length."""
-    return jnp.sqrt(jnp.maximum(jnp.sum(v * v, axis=-1), 0.0))
+    """Batched vector length (NaN-free backward at zero length)."""
+    return safe_sqrt(jnp.sum(v * v, axis=-1))
 
 
-def normalise(v, eps=1e-30):
-    """Batched safe normalise."""
+def normalise(v, eps=1e-24):
+    """Batched safe normalise (zero vectors map to zero, finite grads)."""
     n2 = jnp.sum(v * v, axis=-1, keepdims=True)
-    return v * jnp.where(n2 > eps, 1.0 / jnp.sqrt(jnp.maximum(n2, eps)), 0.0)
+    ok = n2 > eps
+    inv = jnp.where(ok, 1.0 / jnp.sqrt(jnp.where(ok, n2, 1.0)), 0.0)
+    return v * inv
 
 
 def lerp(a, b, t):

@@ -6,6 +6,10 @@ functions are branchless and batched: they return fixed-size root arrays plus
 validity masks, so they trace cleanly under ``jit``/``vmap`` and are used by
 the analytic primitive hit kernels (sphere/cylinder/cone quadratics, torus
 quartic — primitive/torus.pyx:46-90).
+
+Every masked lane is sanitized with the double-where pattern *before* any
+sqrt/div/pow so reverse-mode gradients stay finite — the scene geometry is
+differentiated through these roots (BASELINE pixel-gradient target).
 """
 
 from __future__ import annotations
@@ -17,6 +21,23 @@ __all__ = ["solve_quadratic", "solve_cubic", "solve_quartic"]
 _INF = jnp.inf
 
 
+def _safe_sqrt(x, ok=None):
+    ok = (x > 0.0) if ok is None else ok
+    return jnp.where(ok, jnp.sqrt(jnp.where(ok, x, 1.0)), 0.0)
+
+
+def _safe_div(a, b, eps=1e-30):
+    ok = jnp.abs(b) > eps
+    return jnp.where(ok, a / jnp.where(ok, b, 1.0), 0.0)
+
+
+def _cbrt(x, eps=1e-24):
+    ax = jnp.abs(x)
+    ok = ax > eps
+    r = jnp.where(ok, jnp.where(ok, ax, 1.0) ** (1.0 / 3.0), 0.0)
+    return jnp.sign(x) * r
+
+
 def solve_quadratic(a, b, c, eps=1e-30):
     """Real roots of a x^2 + b x + c = 0.
 
@@ -26,24 +47,20 @@ def solve_quadratic(a, b, c, eps=1e-30):
     """
     d = b * b - 4.0 * a * c
     has_roots = d >= 0.0
-    sq = jnp.sqrt(jnp.maximum(d, 0.0))
+    sq = _safe_sqrt(jnp.where(has_roots, d, 0.0))
     q = -0.5 * (b + jnp.sign(b) * sq)
-    # handle b == 0: q = -0.5 * sq * sign -> 0; fall back to symmetric form
     q = jnp.where(b == 0.0, -0.5 * sq, q)
     lin = jnp.abs(a) < eps
-    r0 = jnp.where(lin, -c / jnp.where(jnp.abs(b) < eps, 1.0, b), q / jnp.where(jnp.abs(a) < eps, 1.0, a))
-    r1 = jnp.where(lin, _INF, c / jnp.where(jnp.abs(q) < eps, 1.0, q))
+    r0 = jnp.where(lin, _safe_div(-c, b, eps), _safe_div(q, a, eps))
+    r1 = _safe_div(c, q, eps)
     v1 = has_roots & ~lin & (jnp.abs(q) >= eps)
     v0 = jnp.where(lin, jnp.abs(b) >= eps, has_roots)
-    lo = jnp.minimum(r0, jnp.where(v1, r1, r0))
-    hi = jnp.maximum(r0, jnp.where(v1, r1, r0))
+    r1_eff = jnp.where(v1, r1, r0)
+    lo = jnp.minimum(r0, r1_eff)
+    hi = jnp.maximum(r0, r1_eff)
     roots = jnp.stack([jnp.where(v0, lo, _INF), jnp.where(v1, hi, _INF)], axis=-1)
     valid = jnp.stack([v0, v1], axis=-1)
     return roots, valid
-
-
-def _cbrt(x):
-    return jnp.sign(x) * jnp.abs(x) ** (1.0 / 3.0)
 
 
 def solve_cubic(a, b, c, d):
@@ -62,25 +79,29 @@ def solve_cubic(a, b, c, d):
     B = (2.0 * p * p * p - 9.0 * p * q + 27.0 * r) / 27.0
     disc = (B * B) / 4.0 + (A * A * A) / 27.0
     shift = -p / 3.0
+    one = disc > 0.0
 
     # one real root (disc > 0): Cardano
-    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    sq = _safe_sqrt(jnp.where(one, disc, 0.0))
     u = _cbrt(-B / 2.0 + sq)
     v = _cbrt(-B / 2.0 - sq)
     single = u + v + shift
 
-    # three real roots (disc <= 0): trigonometric
-    Am = jnp.minimum(A, -1e-30)  # A < 0 in this regime
-    m = 2.0 * jnp.sqrt(-Am / 3.0)
-    arg = jnp.clip(3.0 * B / (Am * m), -1.0, 1.0)
+    # three real roots (disc <= 0): trigonometric; requires A < 0
+    Am = jnp.minimum(A, -1e-24)
+    m = 2.0 * _safe_sqrt(-Am / 3.0)
+    denom = Am * m
+    arg = jnp.clip(_safe_div(3.0 * B, denom), -0.999999, 0.999999)
     theta = jnp.arccos(arg) / 3.0
     k = jnp.arange(3.0)
-    trip = m * jnp.cos(theta[..., None] - 2.0 * jnp.pi * k / 3.0) + shift[..., None]
+    trip = m[..., None] * jnp.cos(theta[..., None] - 2.0 * jnp.pi * k / 3.0) + shift[..., None]
 
-    one = disc > 0.0
     roots = jnp.where(
         one[..., None],
-        jnp.stack([single, jnp.full_like(single, _INF), jnp.full_like(single, _INF)], axis=-1),
+        jnp.stack(
+            [single, jnp.full_like(single, _INF), jnp.full_like(single, _INF)],
+            axis=-1,
+        ),
         trip,
     )
     valid = jnp.where(
@@ -114,31 +135,27 @@ def solve_quartic(a, b, c, d, e, newton_iters=2):
     )
     shift = -b_ / 4.0
 
-    # resolvent cubic: z^3 - p z^2 - 4 r z + (4 p r - q^2) = 0; pick largest real z
-    zr, zv = solve_cubic(
-        jnp.ones_like(p), -p, -4.0 * r, 4.0 * p * r - q * q
-    )
+    # resolvent cubic: z^3 - p z^2 - 4 r z + (4 p r - q^2) = 0; largest real z
+    zr, zv = solve_cubic(jnp.ones_like(p), -p, -4.0 * r, 4.0 * p * r - q * q)
     z = jnp.max(jnp.where(zv, zr, -_INF), axis=-1)
 
-    # factor into two quadratics y^2 +/- s y + (z/2 -/+ q/(2s))
-    s2 = jnp.maximum(z - p, 0.0)
-    s = jnp.sqrt(s2)
-    safe_s = jnp.where(s > 1e-12, s, 1.0)
-    t0 = z / 2.0 - q / (2.0 * safe_s)
-    t1 = z / 2.0 + q / (2.0 * safe_s)
-    # s == 0 degenerate: y^2 = (-p +/- sqrt(p^2-4r))/2
+    # factor into two quadratics y^2 -/+ s y + (z/2 -/+ q/(2s))
+    s = _safe_sqrt(z - p)
     deg = s <= 1e-12
-    dd = jnp.maximum(p * p - 4.0 * r, 0.0)
-    t0 = jnp.where(deg, (z + jnp.sqrt(dd)) / 2.0, t0)
-    t1 = jnp.where(deg, (z - jnp.sqrt(dd)) / 2.0, t1)
+    t0 = z / 2.0 - _safe_div(q, 2.0 * s)
+    t1 = z / 2.0 + _safe_div(q, 2.0 * s)
+    # s == 0 degenerate: y^2 = (-p +/- sqrt(p^2-4r))/2
+    dd = _safe_sqrt(p * p - 4.0 * r)
+    t0 = jnp.where(deg, (z + dd) / 2.0, t0)
+    t1 = jnp.where(deg, (z - dd) / 2.0, t1)
 
     r01, v01 = solve_quadratic(jnp.ones_like(s), -s, t0)
     r23, v23 = solve_quadratic(jnp.ones_like(s), s, t1)
     roots = jnp.concatenate([r01, r23], axis=-1) + shift[..., None]
     valid = jnp.concatenate([v01, v23], axis=-1)
-    roots = jnp.where(valid, roots, _INF)
+    # sanitize before polishing: masked lanes polish a dummy zero root
+    roots = jnp.where(valid, roots, 0.0)
 
-    # Newton polish (helps f32 precision on the torus quartic)
     def poly(x):
         return (((a[..., None] * x + b[..., None]) * x + c[..., None]) * x + d[..., None]) * x + e[..., None]
 
@@ -148,8 +165,8 @@ def solve_quartic(a, b, c, d, e, newton_iters=2):
     for _ in range(newton_iters):
         f = poly(roots)
         df = dpoly(roots)
-        step = f / jnp.where(jnp.abs(df) > 1e-12, df, 1.0)
-        roots = jnp.where(valid & jnp.isfinite(roots), roots - step, roots)
+        step = _safe_div(f, df)
+        roots = jnp.where(valid, roots - step, roots)
 
     roots = jnp.sort(jnp.where(valid, roots, _INF), axis=-1)
     return roots, jnp.isfinite(roots)

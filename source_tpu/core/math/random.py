@@ -39,6 +39,11 @@ __all__ = [
 ]
 
 _2PI = 2.0 * math.pi
+
+
+def _safe_sqrt(x):
+    ok = x > 0.0
+    return jnp.where(ok, jnp.sqrt(jnp.where(ok, x, 1.0)), 0.0)
 _R4PI = 1.0 / (4.0 * math.pi)
 _R2PI = 1.0 / (2.0 * math.pi)
 _RPI = 1.0 / math.pi
@@ -76,7 +81,7 @@ def probability(key, prob, shape=()):
 def vector_sphere(u1, u2):
     """Uniform direction on the full sphere. pdf = 1/(4 pi)."""
     z = 1.0 - 2.0 * u1
-    r = jnp.sqrt(jnp.maximum(0.0, 1.0 - z * z))
+    r = _safe_sqrt(1.0 - z * z)
     phi = _2PI * u2
     return jnp.stack([r * jnp.cos(phi), r * jnp.sin(phi), z], axis=-1)
 
@@ -84,7 +89,7 @@ def vector_sphere(u1, u2):
 def vector_hemisphere_uniform(u1, u2):
     """Uniform direction on +z hemisphere. pdf = 1/(2 pi)."""
     z = u1
-    r = jnp.sqrt(jnp.maximum(0.0, 1.0 - z * z))
+    r = _safe_sqrt(1.0 - z * z)
     phi = _2PI * u2
     return jnp.stack([r * jnp.cos(phi), r * jnp.sin(phi), z], axis=-1)
 
@@ -92,8 +97,8 @@ def vector_hemisphere_uniform(u1, u2):
 def vector_hemisphere_cosine(u1, u2):
     """Cosine-weighted direction on +z hemisphere. pdf = cos(theta)/pi."""
     z2 = u1
-    z = jnp.sqrt(z2)
-    r = jnp.sqrt(jnp.maximum(0.0, 1.0 - z2))
+    z = _safe_sqrt(z2)
+    r = _safe_sqrt(1.0 - z2)
     phi = _2PI * u2
     return jnp.stack([r * jnp.cos(phi), r * jnp.sin(phi), z], axis=-1)
 
@@ -102,7 +107,7 @@ def vector_cone_uniform(u1, u2, cos_max):
     """Uniform direction in a cone of half-angle acos(cos_max) about +z.
     pdf = 1 / (2 pi (1 - cos_max)) (solidangle.pyx ConeUniformSampler:240)."""
     z = 1.0 - u1 * (1.0 - cos_max)
-    r = jnp.sqrt(jnp.maximum(0.0, 1.0 - z * z))
+    r = _safe_sqrt(1.0 - z * z)
     phi = _2PI * u2
     return jnp.stack([r * jnp.cos(phi), r * jnp.sin(phi), z], axis=-1)
 
@@ -110,8 +115,8 @@ def vector_cone_uniform(u1, u2, cos_max):
 def vector_cone_cosine(u1, u2, cos_max):
     """Cosine-weighted direction in a cone about +z."""
     z2 = 1.0 - u1 * (1.0 - cos_max * cos_max)
-    z = jnp.sqrt(z2)
-    r = jnp.sqrt(jnp.maximum(0.0, 1.0 - z2))
+    z = _safe_sqrt(z2)
+    r = _safe_sqrt(1.0 - z2)
     phi = _2PI * u2
     return jnp.stack([r * jnp.cos(phi), r * jnp.sin(phi), z], axis=-1)
 

@@ -175,7 +175,7 @@ def normal_cylinder(p, params):
     r = params[..., 0]
     h = params[..., 1]
     # distances to the three surfaces, pick the closest
-    rad = jnp.sqrt(jnp.maximum(p[..., 0] ** 2 + p[..., 1] ** 2, 1e-30))
+    rad = jnp.sqrt(p[..., 0] ** 2 + p[..., 1] ** 2 + 1e-12)
     d_side = jnp.abs(rad - r)
     d_bot = jnp.abs(p[..., 2])
     d_top = jnp.abs(p[..., 2] - h)
@@ -253,7 +253,7 @@ def normal_cone(p, params):
     r = params[..., 0]
     h = params[..., 1]
     k = r / h
-    rad = jnp.sqrt(jnp.maximum(p[..., 0] ** 2 + p[..., 1] ** 2, 1e-30))
+    rad = jnp.sqrt(p[..., 0] ** 2 + p[..., 1] ** 2 + 1e-12)
     # cap if closer to z=0 plane than to the cone surface
     d_cap = jnp.abs(p[..., 2])
     cone_r_at_z = k * (h - p[..., 2])
@@ -336,7 +336,7 @@ def normal_parabola(p, params):
         [2.0 * p[..., 0], 2.0 * p[..., 1], jnp.broadcast_to(a4, p[..., 0].shape)],
         axis=-1,
     )
-    gn = g / jnp.sqrt(jnp.maximum(jnp.sum(g * g, axis=-1, keepdims=True), 1e-30))
+    gn = g / jnp.sqrt(jnp.sum(g * g, axis=-1, keepdims=True) + 1e-12)
     z = jnp.zeros_like(p[..., 0])
     cap_n = jnp.stack([z, z, -jnp.ones_like(z)], axis=-1)
     rad2 = p[..., 0] ** 2 + p[..., 1] ** 2
@@ -378,18 +378,18 @@ def candidates_torus(o, d, params):
 
 def normal_torus(p, params):
     R = params[..., 0]
-    rad = jnp.sqrt(jnp.maximum(p[..., 0] ** 2 + p[..., 1] ** 2, 1e-30))
+    rad = jnp.sqrt(p[..., 0] ** 2 + p[..., 1] ** 2 + 1e-12)
     # nearest point on the spine circle
     cx = p[..., 0] / rad * R
     cy = p[..., 1] / rad * R
     n = jnp.stack([p[..., 0] - cx, p[..., 1] - cy, p[..., 2]], axis=-1)
-    return n / jnp.sqrt(jnp.maximum(jnp.sum(n * n, axis=-1, keepdims=True), 1e-30))
+    return n / jnp.sqrt(jnp.sum(n * n, axis=-1, keepdims=True) + 1e-12)
 
 
 def contains_torus(p, params):
     R = params[..., 0]
     r = params[..., 1]
-    rad = jnp.sqrt(jnp.maximum(p[..., 0] ** 2 + p[..., 1] ** 2, 1e-30))
+    rad = jnp.sqrt(p[..., 0] ** 2 + p[..., 1] ** 2 + 1e-12)
     return (rad - R) ** 2 + p[..., 2] ** 2 <= r * r
 
 

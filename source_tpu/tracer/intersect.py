@@ -36,6 +36,10 @@ __all__ = ["HitRecord", "intersect_scene", "leaf_candidates", "leaf_contains", "
 _INF = jnp.inf
 T_EPS = 1e-4  # minimum ray-parameter advance (relative-scaled below)
 
+# benign parameter block used on masked-out lanes of the normal dispatch:
+# unit box [0,1]^3 doubles as unit radius/height for the quadric types
+_SAFE_PARAMS = jnp.asarray([1.0, 1.0, 1.0, 2.0, 2.0, 2.0, 1.0, 1.0], jnp.float32)
+
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
@@ -115,8 +119,13 @@ def _leaf_normal(scene: CompiledScene, leaf_idx, p_local):
     for type_id, fn in _a.NORMAL_FNS.items():
         if type_id not in present:
             continue
-        cand = fn(p_local, params)
-        n = jnp.where((leaf_type == type_id)[:, None], cand, n)
+        m = leaf_type == type_id
+        # sanitize the param block on non-matching lanes: evaluating e.g.
+        # the cone normal with a sphere's zero height would produce NaN in
+        # the masked branch and leak through reverse-mode (double-where)
+        safe_params = jnp.where(m[:, None], params, _SAFE_PARAMS[None, : params.shape[1]])
+        cand = fn(p_local, safe_params)
+        n = jnp.where(m[:, None], cand, n)
     return n
 
 
@@ -172,9 +181,9 @@ def intersect_scene(scene: CompiledScene, origin, direction, t_min_scale=None):
         t_sorted = jnp.take_along_axis(t_flat, order, axis=-1)
         leaf_sorted = jnp.take_along_axis(src_leaf, order, axis=-1)
         # inside state just before / after each crossing
-        delta = jnp.maximum(T_EPS, T_EPS * jnp.abs(t_sorted))
         finite = jnp.isfinite(t_sorted) & (t_sorted > eps[:, None])
         t_safe = jnp.where(finite, t_sorted, 0.0)
+        delta = jnp.maximum(T_EPS, T_EPS * jnp.abs(t_safe))
         p_before = origin[:, None, :] + (t_safe - delta)[..., None] * direction[:, None, :]
         p_after = origin[:, None, :] + (t_safe + delta)[..., None] * direction[:, None, :]
         # leaf containment only for this entity's leaves

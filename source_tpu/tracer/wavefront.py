@@ -96,12 +96,14 @@ def _important_cone(scene: CompiledScene, point):
     """Per-sphere cone geometry from a point: axis[N,I,3], cos_max[N,I]."""
     to_c = scene.imp_centre[None, :, :] - point[:, None, :]  # [N,I,3]
     dist2 = jnp.sum(to_c * to_c, axis=-1)
-    dist = jnp.sqrt(jnp.maximum(dist2, 1e-30))
+    dist = jnp.sqrt(dist2 + 1e-12)
     axis = to_c / dist[..., None]
     r = scene.imp_radius[None, :]
     inside = dist <= r
     sin2 = jnp.clip((r / dist) ** 2, 0.0, 1.0)
-    cos_max = jnp.sqrt(jnp.maximum(1.0 - sin2, 0.0))
+    c2 = 1.0 - sin2
+    ok = c2 > 0.0
+    cos_max = jnp.where(ok, jnp.sqrt(jnp.where(ok, c2, 1.0)), 0.0)
     # origin inside the sphere -> sample the full sphere (cos_max = -1)
     cos_max = jnp.where(inside, -1.0, cos_max)
     return axis, cos_max
@@ -150,9 +152,9 @@ def _ggx_sample(u1, u2, rough):
     """Sample a GGX half-vector in the +z frame."""
     a2 = rough * rough
     phi = 2.0 * _PI * u2
-    ct2 = (1.0 - u1) / jnp.maximum(1.0 + (a2 * a2 - 1.0) * u1, 1e-12)
-    ct = jnp.sqrt(jnp.clip(ct2, 0.0, 1.0))
-    st = jnp.sqrt(jnp.clip(1.0 - ct2, 0.0, 1.0))
+    ct2 = jnp.clip((1.0 - u1) / jnp.maximum(1.0 + (a2 * a2 - 1.0) * u1, 1e-12), 0.0, 1.0)
+    ct = jnp.sqrt(ct2 + 1e-12)
+    st = jnp.sqrt(jnp.clip(1.0 - ct2, 1e-12, 1.0))
     return jnp.stack([st * jnp.cos(phi), st * jnp.sin(phi), ct], axis=-1)
 
 
@@ -216,7 +218,8 @@ def _surface_interaction(scene: CompiledScene, cfg: RayConfig, state: RayState,
     if MAT_EMITTER_ANISO in present:
         m = mat_types == MAT_EMITTER_ANISO
         power = params[:, 0]
-        factor = jnp.abs(cos_in) ** power
+        base = jnp.maximum(jnp.abs(cos_in), 1e-9)
+        factor = base ** power
         emission = jnp.where(m[:, None], spectra[:, 0, :] * factor[:, None], emission)
     if MAT_CHECKERBOARD in present:
         m = mat_types == MAT_CHECKERBOARD
@@ -301,8 +304,10 @@ def _surface_interaction(scene: CompiledScene, cfg: RayConfig, state: RayState,
     # --- dielectric: Snell + Fresnel path roulette (dielectric.pyx:165-302) ------
     if MAT_DIELECTRIC in present:
         m = mat_types == MAT_DIELECTRIC
-        n_int = scalars[:, 0]
-        n_ext = scalars[:, 1]
+        # sanitize indices on non-dielectric lanes (their scalars are zero;
+        # 0/0 would NaN the masked branch through reverse-mode)
+        n_int = jnp.where(m, jnp.maximum(scalars[:, 0], 1e-3), 1.5)
+        n_ext = jnp.where(m, jnp.maximum(scalars[:, 1], 1e-3), 1.0)
         transmission_only = params[:, 0] > 0.5
         # c1 follows the reference sign convention: n is the true outward
         # normal, c1 = -n.d (>0 entering)
@@ -313,7 +318,7 @@ def _surface_interaction(scene: CompiledScene, cfg: RayConfig, state: RayState,
         gamma = n1 / n2
         c2s = 1.0 - gamma * gamma * (1.0 - c1 * c1)
         tir = c2s <= 0.0
-        sq = jnp.sqrt(jnp.clip(c2s, 0.0, None))
+        sq = jnp.where(~tir, jnp.sqrt(jnp.where(~tir, c2s, 1.0)), 0.0)
         temp_t = jnp.where(entering, gamma * c1 - sq, gamma * c1 + sq)
         trans_dir = vmath.normalise(gamma[:, None] * d + temp_t[:, None] * n)
         refl_dir = vmath.reflect(d, n)
@@ -355,8 +360,11 @@ def _volume_interaction(scene: CompiledScene, state: RayState, rec: HitRecord):
         m = inside[:, e] & rec.hit
         spec = scene.mat_spectra[mat_idx]  # [NSLOTS, B]
         if kind == VOL_BEER:
-            # transmission^length (dielectric.pyx:313-328)
-            att = jnp.clip(spec[1][None, :], 0.0, None) ** t_seg[:, None]
+            # transmission^length (dielectric.pyx:313-328); safe_pow keeps
+            # gradients finite at zero transmission
+            base = spec[1][None, :]
+            ok = base > 1e-9
+            att = jnp.where(ok, jnp.where(ok, base, 1.0) ** t_seg[:, None], 0.0)
             throughput = jnp.where(m[:, None], throughput * att, throughput)
         elif kind == VOL_HOMOGENEOUS:
             emission = emission + jnp.where(
