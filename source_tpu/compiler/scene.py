@@ -74,6 +74,8 @@ class CompiledScene:
     imp_radius: Any  # f32[I]
     imp_weight: Any  # f32[I] normalised weights
     imp_cdf: Any  # f32[I]
+    # triangle meshes (tuple of MeshTables pytrees, one per mesh entity)
+    meshes: Any = ()
 
     # --- static structure (aux data) ---
     type_slices: Tuple = dataclasses.field(metadata=dict(static=True), default=())
@@ -83,6 +85,7 @@ class CompiledScene:
     csg_entities: Tuple = dataclasses.field(metadata=dict(static=True), default=())
     mat_types: Tuple = dataclasses.field(metadata=dict(static=True), default=())
     volume_entities: Tuple = dataclasses.field(metadata=dict(static=True), default=())
+    mesh_entities: Tuple = dataclasses.field(metadata=dict(static=True), default=())
     has_importance: bool = dataclasses.field(metadata=dict(static=True), default=False)
     spectral: SpectralConfig = dataclasses.field(
         metadata=dict(static=True), default=SpectralConfig(375.0, 740.0, 15)
@@ -141,11 +144,18 @@ def compile_scene(world: World, spectral: SpectralConfig, dtype=jnp.float32) -> 
     programs = []  # postfix programs with global leaf indices
     leaf_entity = []
 
+    mesh_prims = []  # (entity_id, Mesh primitive)
+
     for prim in world.primitives:
+        entity_id = len(entities)
+        if getattr(prim, "is_mesh", False):
+            entities.append(prim)
+            programs.append(None)
+            mesh_prims.append((entity_id, prim))
+            continue
         leaf_base = len(leaf_records)
         leaves = prim.csg_leaves(prim.to_root())
         program = prim.csg_program(leaf_base)
-        entity_id = len(entities)
         entities.append(prim)
         programs.append(program)
         for leaf in leaves:
@@ -154,7 +164,7 @@ def compile_scene(world: World, spectral: SpectralConfig, dtype=jnp.float32) -> 
 
     n_leaves = len(leaf_records)
     n_entities = len(entities)
-    if n_leaves == 0:
+    if n_entities == 0:
         raise ValueError("Cannot compile an empty scene.")
 
     # sort leaves by type for static per-type kernel slices; keep a stable
@@ -164,7 +174,8 @@ def compile_scene(world: World, spectral: SpectralConfig, dtype=jnp.float32) -> 
     leaf_records = [leaf_records[i] for i in order]
     leaf_entity = [leaf_entity[i] for i in order]
     programs = [
-        [(op, remap[arg] if op == OP_LEAF else arg) for op, arg in prog]
+        None if prog is None
+        else [(op, remap[arg] if op == OP_LEAF else arg) for op, arg in prog]
         for prog in programs
     ]
 
@@ -175,15 +186,22 @@ def compile_scene(world: World, spectral: SpectralConfig, dtype=jnp.float32) -> 
         type_slices.append((t, start, start + count))
         start += count
 
-    l2w = np.stack([r[1].to_array(np.float64) for r in leaf_records])
-    w2l = np.stack([r[1].inverse().to_array(np.float64) for r in leaf_records])
-    params = np.stack([np.asarray(r[2], dtype=np.float64) for r in leaf_records])
+    if n_leaves:
+        l2w = np.stack([r[1].to_array(np.float64) for r in leaf_records])
+        w2l = np.stack([r[1].inverse().to_array(np.float64) for r in leaf_records])
+        params = np.stack([np.asarray(r[2], dtype=np.float64) for r in leaf_records])
+    else:
+        l2w = np.zeros((0, 4, 4))
+        w2l = np.zeros((0, 4, 4))
+        params = np.zeros((0, _a.PARAM_BLOCK))
 
-    # classify simple vs csg entities
+    # classify simple vs csg vs mesh entities
     simple_leaf_of_entity = []
     csg_entities = []  # (entity_id, leaf_idx tuple, inside_closure)
     for e, prog in enumerate(programs):
-        if len(prog) == 1 and prog[0][0] == OP_LEAF:
+        if prog is None:  # mesh entity
+            simple_leaf_of_entity.append(-1)
+        elif len(prog) == 1 and prog[0][0] == OP_LEAF:
             simple_leaf_of_entity.append(prog[0][1])
         else:
             simple_leaf_of_entity.append(-1)
@@ -234,6 +252,16 @@ def compile_scene(world: World, spectral: SpectralConfig, dtype=jnp.float32) -> 
         if mat.VOLUME_KIND != VOL_NONE:
             volume_entities.append((e, entity_material[e], mat.VOLUME_KIND))
 
+    # --- meshes (shared MeshData -> per-instance MeshTables) -----------------------
+    mesh_tables = []
+    mesh_entities = []
+    for slot, (e, prim) in enumerate(mesh_prims):
+        m = prim.to_root()
+        l2w_m = m.to_array(np.float64)
+        w2l_m = m.inverse().to_array(np.float64)
+        mesh_tables.append(prim.data.to_tables(w2l_m, l2w_m))
+        mesh_entities.append((e, slot))
+
     # --- importance manager (optical/scenegraph/world.pyx:88-129) ------------------
     imp_centre = []
     imp_radius = []
@@ -271,6 +299,7 @@ def compile_scene(world: World, spectral: SpectralConfig, dtype=jnp.float32) -> 
         imp_radius=jnp.asarray(imp_radius, dtype),
         imp_weight=jnp.asarray(w, dtype),
         imp_cdf=jnp.asarray(imp_cdf, dtype),
+        meshes=tuple(mesh_tables),
         type_slices=tuple(type_slices),
         n_leaves=n_leaves,
         n_entities=n_entities,
@@ -278,6 +307,7 @@ def compile_scene(world: World, spectral: SpectralConfig, dtype=jnp.float32) -> 
         csg_entities=tuple(csg_entities),
         mat_types=mat_types,
         volume_entities=tuple(volume_entities),
+        mesh_entities=tuple(mesh_entities),
         has_importance=has_importance,
         spectral=spectral,
     )

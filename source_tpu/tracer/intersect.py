@@ -30,6 +30,7 @@ import jax.numpy as jnp
 from ..core.math import batch as vmath
 from ..primitive import analytic as _a
 from ..compiler.scene import CompiledScene
+from .meshtrace import mesh_intersect
 
 __all__ = ["HitRecord", "intersect_scene", "leaf_candidates", "leaf_contains", "entity_contains", "T_EPS"]
 
@@ -90,16 +91,31 @@ def leaf_contains(scene: CompiledScene, point):
 def entity_contains(scene: CompiledScene, point):
     """Point-in-entity tests: bool[..., E] (reference World.contains,
     core/scenegraph/world.pyx:149, used for volume integration)."""
-    lc = leaf_contains(scene, point)  # [..., L]
     E = scene.n_entities
     out = jnp.zeros(point.shape[:-1] + (E,), dtype=bool)
-    # simple entities: containment == their leaf's containment
-    for e, leaf_idx in enumerate(scene.simple_leaf_of_entity):
-        if leaf_idx >= 0:
-            out = out.at[..., e].set(lc[..., leaf_idx])
-    for e, leaf_ids, inside_fn in scene.csg_entities:
-        gathered = lc[..., jnp.asarray(leaf_ids)]
-        out = out.at[..., e].set(inside_fn(gathered))
+    if scene.n_leaves:
+        lc = leaf_contains(scene, point)  # [..., L]
+        # simple entities: containment == their leaf's containment
+        for e, leaf_idx in enumerate(scene.simple_leaf_of_entity):
+            if leaf_idx >= 0:
+                out = out.at[..., e].set(lc[..., leaf_idx])
+        for e, leaf_ids, inside_fn in scene.csg_entities:
+            gathered = lc[..., jnp.asarray(leaf_ids)]
+            out = out.at[..., e].set(inside_fn(gathered))
+    # closed meshes: +z probe ray, nearest-hit face orientation
+    # (mesh.pyx:805-831: inside iff the nearest surface seen is a backface)
+    for e, slot in scene.mesh_entities:
+        mesh = scene.meshes[slot]
+        if not mesh.closed:
+            continue
+        flat = point.reshape(-1, 3)
+        o_loc = vmath.transform_point(mesh.w2l[None], flat)
+        d_loc = vmath.transform_vector(
+            mesh.w2l[None], jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0], flat.dtype), flat.shape)
+        )
+        res = mesh_intersect(mesh, o_loc, d_loc, jnp.zeros(flat.shape[0], flat.dtype))
+        inside = (res["tri"] >= 0) & ~res["front"]
+        out = out.at[..., e].set(inside.reshape(point.shape[:-1]))
     return out
 
 
@@ -142,33 +158,33 @@ def intersect_scene(scene: CompiledScene, origin, direction, t_min_scale=None):
     if t_min_scale is not None:
         eps = eps * t_min_scale
 
-    cand = leaf_candidates(scene, origin, direction)  # [N, L, K]
-
-    # nearest positive crossing per leaf
-    cand_pos = jnp.where(cand > eps[:, None, None], cand, _INF)
-    t_leaf = jnp.min(cand_pos, axis=-1)  # [N, L]
-
-    # simple entities: scatter-min over leaf -> entity
     E = scene.n_entities
-    t_entity = jnp.full((N, E), _INF, dtype=t_leaf.dtype)
-    # mask out leaves belonging to CSG entities for the simple pass
-    csg_leaf_ids = set()
-    for _, leaf_ids, _ in scene.csg_entities:
-        csg_leaf_ids.update(leaf_ids)
-    if len(csg_leaf_ids) < scene.n_leaves:
-        if csg_leaf_ids:
-            keep = jnp.asarray(
-                [i not in csg_leaf_ids for i in range(scene.n_leaves)], dtype=bool
-            )
-            t_leaf_simple = jnp.where(keep[None, :], t_leaf, _INF)
-        else:
-            t_leaf_simple = t_leaf
-        t_entity = t_entity.at[:, scene.leaf_entity].min(t_leaf_simple)
+    t_entity = jnp.full((N, E), _INF, dtype=origin.dtype)
+
+    if scene.n_leaves:
+        cand = leaf_candidates(scene, origin, direction)  # [N, L, K]
+
+        # nearest positive crossing per leaf
+        cand_pos = jnp.where(cand > eps[:, None, None], cand, _INF)
+        t_leaf = jnp.min(cand_pos, axis=-1)  # [N, L]
+
+        # simple entities: scatter-min over leaf -> entity
+        # mask out leaves belonging to CSG entities for the simple pass
+        csg_leaf_ids = set()
+        for _, leaf_ids, _ in scene.csg_entities:
+            csg_leaf_ids.update(leaf_ids)
+        if len(csg_leaf_ids) < scene.n_leaves:
+            if csg_leaf_ids:
+                keep = jnp.asarray(
+                    [i not in csg_leaf_ids for i in range(scene.n_leaves)], dtype=bool
+                )
+                t_leaf_simple = jnp.where(keep[None, :], t_leaf, _INF)
+            else:
+                t_leaf_simple = t_leaf
+            t_entity = t_entity.at[:, scene.leaf_entity].min(t_leaf_simple)
 
     # per-ray bookkeeping for csg winners
     csg_t = []
-    csg_leaf = []
-    csg_inside_before = []
     for e, leaf_ids, inside_fn in scene.csg_entities:
         ids = jnp.asarray(leaf_ids)
         tc = cand[:, ids, :]  # [N, l, K]
@@ -214,36 +230,72 @@ def intersect_scene(scene: CompiledScene, origin, direction, t_min_scale=None):
         t_entity = t_entity.at[:, e].set(bt)
         csg_t.append((e, bt, bleaf, binside))
 
+    # mesh entities: stackless BVH traversal in each mesh's local frame
+    # (direction deliberately NOT renormalised so t shares world units)
+    mesh_win = []
+    for e, slot in scene.mesh_entities:
+        mesh = scene.meshes[slot]
+        o_loc = vmath.transform_point(mesh.w2l[None], origin)
+        d_loc = vmath.transform_vector(mesh.w2l[None], direction)
+        res = mesh_intersect(mesh, o_loc, d_loc, eps)
+        t_entity = t_entity.at[:, e].set(jnp.where(res["tri"] >= 0, res["t"], _INF))
+        mesh_win.append((e, slot, res))
+
     # global nearest entity
     entity = jnp.argmin(t_entity, axis=-1).astype(jnp.int32)
     t = jnp.min(t_entity, axis=-1)
     hit = jnp.isfinite(t)
     t_safe = jnp.where(hit, t, 0.0)
 
-    # winning leaf: for simple entities the entity's own leaf; csg overrides
-    simple_leaf = jnp.asarray(
-        [max(i, 0) for i in scene.simple_leaf_of_entity], dtype=jnp.int32
-    )
-    leaf = simple_leaf[entity]
-    for e, bt, bleaf, _ in csg_t:
-        leaf = jnp.where(entity == e, bleaf.astype(jnp.int32), leaf)
-
     point = origin + t_safe[:, None] * direction
-
-    # outward leaf normal at hit (local -> world with inverse-transpose)
-    w2l = scene.leaf_w2l[leaf]
-    p_local = vmath.transform_point(w2l, point)
-    n_local = _leaf_normal(scene, leaf, p_local)
-    n_world = vmath.normalise(vmath.transform_normal(w2l, n_local))
-
-    # solid-inside state before the crossing -> exiting flag + normal sign
-    # simple entities: leaf containment at p - delta*d
     delta = jnp.maximum(T_EPS, T_EPS * jnp.abs(t_safe))
-    p_before = origin + (t_safe - delta)[:, None] * direction
-    lc_before = leaf_contains(scene, p_before)  # [N, L]
-    inside_before = jnp.take_along_axis(lc_before, leaf[:, None], axis=-1)[:, 0]
+
+    if scene.n_leaves:
+        # winning leaf: simple entities own one leaf; csg overrides
+        simple_leaf = jnp.asarray(
+            [max(i, 0) for i in scene.simple_leaf_of_entity], dtype=jnp.int32
+        )
+        leaf = simple_leaf[entity]
+        for e, bt, bleaf, _ in csg_t:
+            leaf = jnp.where(entity == e, bleaf.astype(jnp.int32), leaf)
+
+        # outward leaf normal at hit (local -> world with inverse-transpose)
+        w2l = scene.leaf_w2l[leaf]
+        p_local = vmath.transform_point(w2l, point)
+        n_local = _leaf_normal(scene, leaf, p_local)
+        n_world = vmath.normalise(vmath.transform_normal(w2l, n_local))
+
+        # solid-inside state before the crossing -> exiting flag + normal sign
+        # simple entities: leaf containment at p - delta*d
+        p_before = origin + (t_safe - delta)[:, None] * direction
+        lc_before = leaf_contains(scene, p_before)  # [N, L]
+        inside_before = jnp.take_along_axis(lc_before, leaf[:, None], axis=-1)[:, 0]
+    else:
+        leaf = jnp.zeros((N,), jnp.int32)
+        n_world = jnp.zeros_like(point)
+        inside_before = jnp.zeros((N,), bool)
     for e, bt, bleaf, binside in csg_t:
         inside_before = jnp.where(entity == e, binside, inside_before)
+
+    # mesh winners: smoothed (or face) normal, exiting from face orientation
+    # (mesh.pyx:718-804 MeshIntersection semantics)
+    for e, slot, res in mesh_win:
+        mesh = scene.meshes[slot]
+        m = (entity == e) & hit
+        tri_idx = jnp.clip(res["tri"], 0, mesh.triangles.shape[0] - 1)
+        tri = mesh.triangles[tri_idx]
+        if mesh.smoothing:
+            w0 = (1.0 - res["u"] - res["v"])[:, None]
+            n_loc = (
+                w0 * mesh.vertex_normals[tri[:, 0]]
+                + res["u"][:, None] * mesh.vertex_normals[tri[:, 1]]
+                + res["v"][:, None] * mesh.vertex_normals[tri[:, 2]]
+            )
+        else:
+            n_loc = mesh.face_normals[tri_idx]
+        n_w = vmath.normalise(vmath.transform_normal(mesh.w2l[None], n_loc))
+        n_world = jnp.where(m[:, None], n_w, n_world)
+        inside_before = jnp.where(m, ~res["front"], inside_before)
 
     # orient normal to point away from the solid: when exiting the solid the
     # outward normal must align with the ray direction, when entering oppose

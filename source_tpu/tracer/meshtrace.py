@@ -1,0 +1,189 @@
+"""Batched stackless BVH traversal + triangle intersection.
+
+TPU-native replacement for the reference's mesh trace chain
+(raysect/primitive/mesh/mesh.pyx:506-713: KDTree3DCore recursive descent +
+watertight Woop triangle test). The recursion becomes a single
+``lax.while_loop`` over the ray batch: each ray lane carries a node pointer
+into the threaded flat BVH (accel/bvh.py) and steps
+
+    next = (aabb hit && inner) ? node + 1 : skip[node]
+
+until every lane has escaped the tree. Leaves test a fixed ``max_leaf``
+block of triangles per visit (Moller-Trumbore in f32 with scale-relative
+tolerances; the reference's f64 Woop watertight fallback is replaced by the
+epsilon pad, cf. SURVEY.md §7 f32 strategy). Everything is fixed-shape and
+differentiable w.r.t. the vertex array.
+
+``t`` is measured in the *caller's* parameter units: directions must be
+passed untransformed in length (transform_vector without renormalising), so
+local-space hits share the world ray parameter (mesh.pyx:1178 semantics).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from ..core.math import batch as vmath
+
+__all__ = ["MeshTables", "mesh_intersect", "mesh_hit_count"]
+
+_INF = jnp.inf
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class MeshTables:
+    """Device-side mesh: geometry + threaded BVH (pytree; vertices are
+    differentiable scene parameters)."""
+
+    vertices: Any  # f32[V,3] local space
+    triangles: Any  # i32[T,3] BVH-permuted
+    face_normals: Any  # f32[T,3] unit, BVH-permuted
+    vertex_normals: Any  # f32[V,3] unit (zeros when smoothing off)
+    node_lo: Any  # f32[NN,3]
+    node_hi: Any  # f32[NN,3]
+    node_skip: Any  # i32[NN]
+    node_first: Any  # i32[NN]
+    node_count: Any  # i32[NN]
+    w2l: Any  # f32[4,4] world -> local
+    l2w: Any  # f32[4,4]
+
+    n_nodes: int = dataclasses.field(metadata=dict(static=True), default=0)
+    max_leaf: int = dataclasses.field(metadata=dict(static=True), default=4)
+    smoothing: bool = dataclasses.field(metadata=dict(static=True), default=True)
+    closed: bool = dataclasses.field(metadata=dict(static=True), default=False)
+
+
+def _slab_test(node_lo, node_hi, o, inv_d, t_max):
+    """AABB slab test. Returns hit mask; entry beyond t_max is a miss."""
+    t0 = (node_lo - o) * inv_d
+    t1 = (node_hi - o) * inv_d
+    t_near = jnp.max(jnp.minimum(t0, t1), axis=-1)
+    t_far = jnp.min(jnp.maximum(t0, t1), axis=-1)
+    return (t_far >= jnp.maximum(t_near, 0.0)) & (t_near < t_max)
+
+
+def _tri_test(v0, v1, v2, o, d, t_min, tol=1e-6):
+    """Moller-Trumbore. Returns (t, u, v, front, valid)."""
+    e1 = v1 - v0
+    e2 = v2 - v0
+    p = vmath.cross(d, e2)
+    det = vmath.dot(e1, p)
+    ok = jnp.abs(det) > 1e-12
+    inv = jnp.where(ok, 1.0 / jnp.where(ok, det, 1.0), 0.0)
+    tv = o - v0
+    u = vmath.dot(tv, p) * inv
+    q = vmath.cross(tv, e1)
+    v = vmath.dot(d, q) * inv
+    t = vmath.dot(e2, q) * inv
+    valid = (
+        ok
+        & (u >= -tol)
+        & (v >= -tol)
+        & (u + v <= 1.0 + tol)
+        & (t > t_min)
+    )
+    return t, u, v, det > 0.0, valid
+
+
+def mesh_intersect(mesh: MeshTables, origin, direction, t_min, t_max=None):
+    """Nearest triangle hit for a local-space ray batch.
+
+    origin/direction: f32[N,3] (direction NOT normalised — parameter units).
+    t_min: f32[N] minimum ray parameter (epsilon advance).
+    Returns dict(t, tri, u, v, front) with t=+inf on miss.
+    """
+    N = origin.shape[0]
+    inv_d = jnp.where(
+        jnp.abs(direction) > 1e-12, 1.0 / jnp.where(jnp.abs(direction) > 1e-12, direction, 1.0), 3e38
+    )
+    t_best0 = jnp.full((N,), _INF if t_max is None else t_max, origin.dtype)
+
+    def cond(state):
+        node = state[0]
+        return jnp.any(node < mesh.n_nodes)
+
+    def body(state):
+        node, t_best, tri_best, u_best, v_best, front_best = state
+        active = node < mesh.n_nodes
+        nidx = jnp.clip(node, 0, mesh.n_nodes - 1)
+        nlo = mesh.node_lo[nidx]
+        nhi = mesh.node_hi[nidx]
+        hit_box = active & _slab_test(nlo, nhi, origin, inv_d, t_best)
+        count = mesh.node_count[nidx]
+        first = mesh.node_first[nidx]
+        is_leaf = count > 0
+        test_leaf = hit_box & is_leaf
+
+        for k in range(mesh.max_leaf):
+            tri_id = jnp.clip(first + k, 0, mesh.triangles.shape[0] - 1)
+            lane = test_leaf & (k < count)
+            tri = mesh.triangles[tri_id]
+            v0 = mesh.vertices[tri[:, 0]]
+            v1 = mesh.vertices[tri[:, 1]]
+            v2 = mesh.vertices[tri[:, 2]]
+            t, u, v, front, valid = _tri_test(v0, v1, v2, origin, direction, t_min)
+            better = lane & valid & (t < t_best)
+            t_best = jnp.where(better, t, t_best)
+            tri_best = jnp.where(better, tri_id, tri_best)
+            u_best = jnp.where(better, u, u_best)
+            v_best = jnp.where(better, v, v_best)
+            front_best = jnp.where(better, front, front_best)
+
+        nxt = jnp.where(hit_box & ~is_leaf, node + 1, mesh.node_skip[nidx])
+        node = jnp.where(active, nxt, node)
+        return node, t_best, tri_best, u_best, v_best, front_best
+
+    node0 = jnp.zeros((N,), jnp.int32)
+    tri0 = jnp.full((N,), -1, jnp.int32)
+    z = jnp.zeros((N,), origin.dtype)
+    state = jax.lax.while_loop(
+        cond, body, (node0, t_best0, tri0, z, z, jnp.zeros((N,), bool))
+    )
+    _, t, tri, u, v, front = state
+    if t_max is not None:
+        t = jnp.where(tri >= 0, t, _INF)
+    return {"t": t, "tri": tri, "u": u, "v": v, "front": front}
+
+
+def mesh_hit_count(mesh: MeshTables, origin, direction, t_min):
+    """Count ALL crossings with t > t_min (parity containment test,
+    mesh.pyx:805-831 re-expressed direction-agnostically)."""
+    N = origin.shape[0]
+    inv_d = jnp.where(
+        jnp.abs(direction) > 1e-12, 1.0 / jnp.where(jnp.abs(direction) > 1e-12, direction, 1.0), 3e38
+    )
+
+    def cond(state):
+        return jnp.any(state[0] < mesh.n_nodes)
+
+    def body(state):
+        node, count_hits = state
+        active = node < mesh.n_nodes
+        nidx = jnp.clip(node, 0, mesh.n_nodes - 1)
+        hit_box = active & _slab_test(
+            mesh.node_lo[nidx], mesh.node_hi[nidx], origin, inv_d, jnp.full((N,), _INF)
+        )
+        count = mesh.node_count[nidx]
+        first = mesh.node_first[nidx]
+        is_leaf = count > 0
+        test_leaf = hit_box & is_leaf
+        for k in range(mesh.max_leaf):
+            tri_id = jnp.clip(first + k, 0, mesh.triangles.shape[0] - 1)
+            lane = test_leaf & (k < count)
+            tri = mesh.triangles[tri_id]
+            t, u, v, front, valid = _tri_test(
+                mesh.vertices[tri[:, 0]], mesh.vertices[tri[:, 1]],
+                mesh.vertices[tri[:, 2]], origin, direction, t_min,
+            )
+            count_hits = count_hits + (lane & valid).astype(jnp.int32)
+        nxt = jnp.where(hit_box & ~is_leaf, node + 1, mesh.node_skip[nidx])
+        return jnp.where(active, nxt, node), count_hits
+
+    node0 = jnp.zeros((N,), jnp.int32)
+    _, hits = jax.lax.while_loop(cond, body, (node0, jnp.zeros((N,), jnp.int32)))
+    return hits
