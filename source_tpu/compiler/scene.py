@@ -86,6 +86,8 @@ class CompiledScene:
     mat_types: Tuple = dataclasses.field(metadata=dict(static=True), default=())
     volume_entities: Tuple = dataclasses.field(metadata=dict(static=True), default=())
     mesh_entities: Tuple = dataclasses.field(metadata=dict(static=True), default=())
+    mix_remaps: Tuple = dataclasses.field(metadata=dict(static=True), default=())
+    has_roughen: bool = dataclasses.field(metadata=dict(static=True), default=False)
     has_importance: bool = dataclasses.field(metadata=dict(static=True), default=False)
     spectral: SpectralConfig = dataclasses.field(
         metadata=dict(static=True), default=SpectralConfig(375.0, 740.0, 15)
@@ -217,6 +219,20 @@ def compile_scene(world: World, spectral: SpectralConfig, dtype=jnp.float32) -> 
     materials = []
     mat_index = {}
     entity_material = []
+
+    def register_material(mat):
+        key = id(mat)
+        if key not in mat_index:
+            mat_index[key] = len(materials)
+            materials.append(mat)
+            # children (Blend/Add mixes) compile into their own rows,
+            # remapped per ray before dispatch; registration order keeps a
+            # parent mix before its children so nested mixes resolve in one
+            # ascending remap sweep
+            for child in mat.child_materials():
+                register_material(child)
+        return mat_index[key]
+
     for prim in entities:
         mat = prim.material
         if mat is None:
@@ -224,11 +240,7 @@ def compile_scene(world: World, spectral: SpectralConfig, dtype=jnp.float32) -> 
                 f"Primitive {prim!r} has no material; every traceable primitive "
                 "needs one (reference requires the same)."
             )
-        key = id(mat)
-        if key not in mat_index:
-            mat_index[key] = len(materials)
-            materials.append(mat)
-        entity_material.append(mat_index[key])
+        entity_material.append(register_material(mat))
 
     M = len(materials)
     B = spectral.bins
@@ -245,12 +257,27 @@ def compile_scene(world: World, spectral: SpectralConfig, dtype=jnp.float32) -> 
             spectral.min_wavelength, spectral.max_wavelength
         )
 
-    # volume-active entities (static unrolled loop in the tracer)
+    # mix remaps (Blend/Add modifiers): per-ray material-id reroll
+    mix_remaps = []
+    for i, m in enumerate(materials):
+        if getattr(m, "IS_MIX", False):
+            mix_remaps.append(
+                (i, mat_index[id(m.m1)], mat_index[id(m.m2)], float(m.ADD_WEIGHT))
+            )
+    mix_remaps.sort()  # ascending ids -> nested mixes resolve in one sweep
+
+    # volume-active entities (static unrolled loop in the tracer); the
+    # inhomogeneous kind carries its material object (emission closure +
+    # integrator) and the entity's local frame source
     volume_entities = []
+    mesh_slot_of_entity = {e: slot for slot, (e, _) in enumerate(mesh_prims)}
     for e, prim in enumerate(entities):
         mat = materials[entity_material[e]]
         if mat.VOLUME_KIND != VOL_NONE:
-            volume_entities.append((e, entity_material[e], mat.VOLUME_KIND))
+            volume_entities.append((
+                e, entity_material[e], mat.VOLUME_KIND, mat,
+                simple_leaf_of_entity[e], mesh_slot_of_entity.get(e, -1),
+            ))
 
     # --- meshes (shared MeshData -> per-instance MeshTables) -----------------------
     mesh_tables = []
@@ -308,6 +335,10 @@ def compile_scene(world: World, spectral: SpectralConfig, dtype=jnp.float32) -> 
         mat_types=mat_types,
         volume_entities=tuple(volume_entities),
         mesh_entities=tuple(mesh_entities),
+        mix_remaps=tuple(mix_remaps),
+        has_roughen=bool(
+            any(m.compile_params()[7] > 0.0 for m in materials)
+        ),
         has_importance=has_importance,
         spectral=spectral,
     )

@@ -7,8 +7,11 @@ from .dielectric import Sellmeier, Dielectric
 from .emitter import (
     UniformSurfaceEmitter, UnitySurfaceEmitter, AnisotropicSurfaceEmitter,
     Checkerboard, HomogeneousVolumeEmitter, UniformVolumeEmitter,
-    UnityVolumeEmitter,
+    UnityVolumeEmitter, InhomogeneousVolumeEmitter, VolumeIntegrator,
+    NumericalIntegrator,
 )
+from .modifiers import Roughen, Blend, Add, VolumeTransform
+from .debug import Light, PerfectReflectingSurface
 
 __all__ = [
     "Material", "NullSurface", "NullVolume", "NullMaterial",
@@ -16,4 +19,7 @@ __all__ = [
     "Sellmeier", "Dielectric", "UniformSurfaceEmitter",
     "UnitySurfaceEmitter", "AnisotropicSurfaceEmitter", "Checkerboard",
     "HomogeneousVolumeEmitter", "UniformVolumeEmitter", "UnityVolumeEmitter",
+    "InhomogeneousVolumeEmitter", "VolumeIntegrator", "NumericalIntegrator",
+    "Roughen", "Blend", "Add", "VolumeTransform",
+    "Light", "PerfectReflectingSurface",
 ]

@@ -39,6 +39,9 @@ __all__ = [
     "MAT_DIELECTRIC",
     "MAT_EMITTER_ANISO",
     "MAT_CHECKERBOARD",
+    "MAT_LIGHT",
+    "MAT_PERFECT_REFLECT",
+    "ROUGHEN_SLOT",
     "NPARAMS",
     "NSLOTS",
     "NSCALARS",
@@ -57,10 +60,16 @@ MAT_ROUGH_CONDUCTOR = 5
 MAT_DIELECTRIC = 6
 MAT_EMITTER_ANISO = 7
 MAT_CHECKERBOARD = 8
+MAT_LIGHT = 9
+MAT_PERFECT_REFLECT = 10
 
 NPARAMS = 8
 NSLOTS = 4
 NSCALARS = 4
+
+# params slot 7 is reserved framework-wide for the Roughen modifier's
+# roughness (modifiers/roughen.pyx semantics applied pre-dispatch)
+ROUGHEN_SLOT = 7
 
 # volume interaction kinds
 VOL_NONE = 0
@@ -109,6 +118,11 @@ class Material:
     def compile_scalars(self, min_wavelength, max_wavelength):
         """Per-spectral-slice band-average scalars -> f32[NSCALARS]."""
         return np.zeros(NSCALARS, dtype=np.float64)
+
+    def child_materials(self):
+        """Materials wrapped by this one (mix modifiers); compiled into
+        their own table rows and dispatched via the mix remap."""
+        return []
 
 
 class AbsorbingSurface(Material):

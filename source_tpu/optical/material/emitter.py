@@ -20,6 +20,7 @@ from .base import (
     Material,
     NullSurface,
     VOL_HOMOGENEOUS,
+    VOL_INHOMOGENEOUS,
 )
 
 __all__ = [
@@ -30,6 +31,9 @@ __all__ = [
     "HomogeneousVolumeEmitter",
     "UniformVolumeEmitter",
     "UnityVolumeEmitter",
+    "InhomogeneousVolumeEmitter",
+    "VolumeIntegrator",
+    "NumericalIntegrator",
 ]
 
 
@@ -160,3 +164,47 @@ class UnityVolumeEmitter(HomogeneousVolumeEmitter):
 
     def __init__(self):
         super().__init__(ConstantSF(1.0), 1.0)
+
+
+class VolumeIntegrator:
+    """Volume integration strategy base (emitter/inhomogeneous.pyx:40)."""
+
+
+class NumericalIntegrator(VolumeIntegrator):
+    """Fixed-resolution ray march (emitter/inhomogeneous.pyx:108-177).
+
+    The reference adapts sample count to ``step``; under jit the count must
+    be static, so ``max_samples`` midpoint-rule samples span each traversed
+    segment (step is kept for API parity and conservative accuracy checks).
+    """
+
+    def __init__(self, step=0.01, min_samples=5, max_samples=32):
+        if step <= 0:
+            raise ValueError("step must be positive.")
+        if min_samples < 2:
+            raise ValueError("min_samples must be >= 2.")
+        self.step = float(step)
+        self.min_samples = int(min_samples)
+        self.max_samples = int(max_samples)
+
+
+class InhomogeneousVolumeEmitter(NullSurface):
+    """Spatially varying volume emitter (emitter/inhomogeneous.pyx:40).
+
+    ``emission_function(p_local, direction_local, wavelengths)`` is a
+    jnp-traceable closure returning spectral emission density
+    (W/m3/str/nm) with shape [..., bins]; it is evaluated at
+    ``integrator.max_samples`` points along every traversed in-volume
+    segment, in the primitive's local frame (optionally offset by a
+    wrapping VolumeTransform).
+    """
+
+    VOLUME_KIND = VOL_INHOMOGENEOUS
+
+    def __init__(self, emission_function, integrator=None):
+        super().__init__()
+        if not callable(emission_function):
+            raise TypeError("emission_function must be callable.")
+        self.emission_function = emission_function
+        self.integrator = integrator or NumericalIntegrator()
+        self.importance = 1.0

@@ -35,10 +35,14 @@ from ..optical.material.base import (
     MAT_EMITTER,
     MAT_EMITTER_ANISO,
     MAT_LAMBERT,
+    MAT_LIGHT,
     MAT_NULL,
+    MAT_PERFECT_REFLECT,
     MAT_ROUGH_CONDUCTOR,
+    ROUGHEN_SLOT,
     VOL_BEER,
     VOL_HOMOGENEOUS,
+    VOL_INHOMOGENEOUS,
 )
 from .intersect import HitRecord, entity_contains, intersect_scene
 
@@ -182,6 +186,19 @@ def _surface_interaction(scene: CompiledScene, cfg: RayConfig, state: RayState,
     dtype = state.origin.dtype
 
     mat_id = scene.entity_material[jnp.maximum(rec.entity, 0)]
+
+    # mix modifiers (Blend/Add): reroll the material id before gathering.
+    # Remaps are sorted ascending so nested mixes resolve in one sweep;
+    # Add lanes get a 2x one-sample compensation weight (modifiers.py).
+    lane_weight = jnp.ones((N,), dtype)
+    for mix_id, id_a, id_b, add_weight in scene.mix_remaps:
+        ratio = scene.mat_params[mix_id, 0]
+        pick_b = u[:, 7] < ratio
+        is_mix = mat_id == mix_id
+        mat_id = jnp.where(is_mix, jnp.where(pick_b, id_b, id_a), mat_id)
+        if add_weight != 1.0:
+            lane_weight = jnp.where(is_mix, lane_weight * add_weight, lane_weight)
+
     mat_types = jnp.asarray(scene.mat_types, jnp.int32)[mat_id]  # [N]
     spectra = scene.mat_spectra[mat_id]  # [N, NSLOTS, B]
     params = scene.mat_params[mat_id]  # [N, NPARAMS]
@@ -192,6 +209,25 @@ def _surface_interaction(scene: CompiledScene, cfg: RayConfig, state: RayState,
     cos_in = -vmath.dot(d, n)  # >0 when hitting the front/outside face
     # shading normal faces the incident ray (ContinuousBSDF normal flip)
     n_sh = jnp.where(cos_in[:, None] >= 0.0, n, -n)
+
+    # Roughen modifier: perturb the shading normal pre-dispatch
+    # (roughen.pyx:46-120 — lerp toward a cosine-hemisphere sample; the
+    # reference's rejection loop is replaced by clamping to the incident
+    # hemisphere)
+    roughen = params[:, ROUGHEN_SLOT]
+    if scene.has_roughen:
+        t_r, b_r, n_r = vmath.make_frame(n_sh)
+        pert = vmath.from_frame(
+            vrand.vector_hemisphere_cosine(u[:, 8], u[:, 9]), t_r, b_r, n_r
+        )
+        n_pert = vmath.normalise(vmath.lerp(n_sh, pert, roughen[:, None]))
+        # keep the perturbed normal on the incident side and facing away
+        # from the ray; cos_in stays geometric (the dielectric's
+        # entering/exiting logic needs the true outward normal)
+        keep = (vmath.dot(n_pert, n_sh) > 1e-4) & (roughen > 0.0) & (
+            vmath.dot(d, n_pert) < 0.0
+        )
+        n_sh = jnp.where(keep[:, None], n_pert, n_sh)
     abs_cos_in = jnp.abs(cos_in)
 
     # surface frame for hemisphere sampling
@@ -231,6 +267,22 @@ def _surface_interaction(scene: CompiledScene, cfg: RayConfig, state: RayState,
         parity = (cells[:, 0] + cells[:, 1] + cells[:, 2]) % 2 == 0
         emis = jnp.where(parity[:, None], spectra[:, 0, :], spectra[:, 1, :])
         emission = jnp.where(m[:, None], emis, emission)
+
+    # --- debug Light: distant-source lambertian response (debug.pyx:41) ---------
+    if MAT_LIGHT in present:
+        m = mat_types == MAT_LIGHT
+        ldir = params[:, 0:3]  # world-space, unit
+        fac = jnp.maximum(0.0, -jnp.sum(ldir * n_sh, axis=-1))
+        emission = jnp.where(m[:, None], spectra[:, 0, :] * fac[:, None], emission)
+
+    # --- debug PerfectReflectingSurface: lossless mirror (debug.pyx:82) ---------
+    if MAT_PERFECT_REFLECT in present:
+        m = mat_types == MAT_PERFECT_REFLECT
+        refl_dir = vmath.reflect(d, n_sh)
+        thr_mul = jnp.where(m[:, None], 1.0, thr_mul)
+        new_direction = jnp.where(m[:, None], refl_dir, new_direction)
+        new_origin = jnp.where(m[:, None], refl_origin, new_origin)
+        continues = continues | m
 
     # --- null surface: pass through, depth exempt (material.pyx:118-160) --------
     if MAT_NULL in present:
@@ -342,6 +394,9 @@ def _surface_interaction(scene: CompiledScene, cfg: RayConfig, state: RayState,
         continues = continues | ok
 
     # absorbers fall through: continues stays False, thr_mul 0
+    # Add-modifier one-sample compensation applies to the whole response
+    thr_mul = thr_mul * lane_weight[:, None]
+    emission = emission * lane_weight[:, None]
     return new_origin, new_direction, thr_mul, emission, continues, counts_depth
 
 
@@ -356,7 +411,8 @@ def _volume_interaction(scene: CompiledScene, state: RayState, rec: HitRecord):
     inside = entity_contains(scene, midpoint)  # [N, E]
     throughput = state.throughput
     emission = jnp.zeros_like(state.radiance)
-    for e, mat_idx, kind in scene.volume_entities:
+    sp = scene.spectral
+    for e, mat_idx, kind, mat_obj, leaf_idx, mesh_slot in scene.volume_entities:
         m = inside[:, e] & rec.hit
         spec = scene.mat_spectra[mat_idx]  # [NSLOTS, B]
         if kind == VOL_BEER:
@@ -370,13 +426,46 @@ def _volume_interaction(scene: CompiledScene, state: RayState, rec: HitRecord):
             emission = emission + jnp.where(
                 m[:, None], spec[0][None, :] * t_seg[:, None], 0.0
             )
+        elif kind == VOL_INHOMOGENEOUS:
+            # fixed-count midpoint-rule ray march of the emission closure in
+            # the primitive's local frame (emitter/inhomogeneous.pyx:108-177;
+            # the reference's adaptive step count must be static under jit)
+            # unwrap delegating modifiers (VolumeTransform) to the emitter
+            inner = mat_obj
+            while not hasattr(inner, "integrator") and hasattr(inner, "material"):
+                inner = inner.material
+            steps = inner.integrator.max_samples
+            if mesh_slot >= 0:
+                w2l_m = scene.meshes[mesh_slot].w2l
+            elif leaf_idx >= 0:
+                w2l_m = scene.leaf_w2l[leaf_idx]
+            else:  # CSG entity: use its first leaf's frame
+                w2l_m = scene.leaf_w2l[0]
+            frame_extra = getattr(mat_obj, "volume_frame_matrix", None)
+            ts = (jnp.arange(steps, dtype=t_seg.dtype) + 0.5) / steps
+            pts = (
+                state.origin[:, None, :]
+                + (ts[None, :] * t_seg[:, None])[..., None]
+                * state.direction[:, None, :]
+            )  # [N, S, 3]
+            p_loc = vmath.transform_point(w2l_m[None, None], pts)
+            d_loc = vmath.transform_vector(w2l_m[None], state.direction)
+            if frame_extra is not None:
+                fm = jnp.asarray(frame_extra(), p_loc.dtype)
+                p_loc = vmath.transform_point(fm[None, None], p_loc)
+                d_loc = vmath.transform_vector(fm[None], d_loc)
+            lam = sp.min_wavelength + (jnp.arange(sp.bins, dtype=t_seg.dtype) + 0.5) * sp.delta_wavelength
+            dens = inner.emission_function(p_loc, d_loc[:, None, :], lam)  # [N, S, B]
+            emission = emission + jnp.where(
+                m[:, None], jnp.mean(dens, axis=1) * t_seg[:, None], 0.0
+            )
     return throughput, emission
 
 
 def trace_step(scene: CompiledScene, cfg: RayConfig, state: RayState, step_key):
     """One wavefront bounce. Returns the next RayState."""
     N = state.origin.shape[0]
-    u = jax.random.uniform(step_key, (N, 8), state.origin.dtype)
+    u = jax.random.uniform(step_key, (N, 10), state.origin.dtype)
 
     # Russian roulette (optical/ray.pyx:380-388)
     roulette_active = state.alive & (state.depth >= cfg.extinction_min_depth)
