@@ -191,36 +191,48 @@ def intersect_scene(scene: CompiledScene, origin, direction, t_min_scale=None):
         l = len(leaf_ids)
         C = l * _a.MAX_HITS
         t_flat = tc.reshape(N, C)
+        # local (0..l-1) leaf index per candidate slot
+        local_leaf = jnp.broadcast_to(
+            jnp.arange(l)[None, :, None], (N, l, _a.MAX_HITS)
+        ).reshape(N, C)
         src_leaf = jnp.broadcast_to(ids[None, :, None], (N, l, _a.MAX_HITS)).reshape(N, C)
         # sort candidates by t
         order = jnp.argsort(t_flat, axis=-1)
         t_sorted = jnp.take_along_axis(t_flat, order, axis=-1)
         leaf_sorted = jnp.take_along_axis(src_leaf, order, axis=-1)
-        # inside state just before / after each crossing
+        local_sorted = jnp.take_along_axis(local_leaf, order, axis=-1)
         finite = jnp.isfinite(t_sorted) & (t_sorted > eps[:, None])
-        t_safe = jnp.where(finite, t_sorted, 0.0)
-        delta = jnp.maximum(T_EPS, T_EPS * jnp.abs(t_safe))
-        p_before = origin[:, None, :] + (t_safe - delta)[..., None] * direction[:, None, :]
-        p_after = origin[:, None, :] + (t_safe + delta)[..., None] * direction[:, None, :]
-        # leaf containment only for this entity's leaves
-        def contains_subset(pts):
-            lc_parts = []
-            for type_id, start, stop in scene.type_slices:
-                sel = [i for i, g in enumerate(leaf_ids) if start <= g < stop]
-                if not sel:
-                    continue
-                g_ids = jnp.asarray([leaf_ids[i] for i in sel])
-                w2l = scene.leaf_w2l[g_ids]
-                params = scene.leaf_params[g_ids]
-                p_loc = vmath.transform_point(w2l[None, None], pts[:, :, None, :])
-                lc_parts.append((sel, _a.CONTAINS_FNS[type_id](p_loc, params[None, None])))
-            out = jnp.zeros(pts.shape[:-1] + (l,), dtype=bool)
-            for sel, vals in lc_parts:
-                out = out.at[..., jnp.asarray(sel)].set(vals)
-            return out
 
-        inside_b = inside_fn(contains_subset(p_before))  # [N, C]
-        inside_a = inside_fn(contains_subset(p_after))
+        # EXACT per-leaf inside state at every crossing via crossing parity:
+        # each valid crossing of a leaf toggles that leaf's containment, so
+        # state-before-crossing-j = state-at-origin XOR parity(valid
+        # crossings of that leaf strictly before j in the sorted order).
+        # No positional epsilon probing (which mis-attributes boundaries
+        # when surfaces are closer than the probe offset, e.g. a lens
+        # barrel cap a few microns from the sphere vertex).
+        onehot = (
+            (local_sorted[..., None] == jnp.arange(l)[None, None, :])
+            & finite[..., None]
+        ).astype(jnp.int32)  # [N, C, l]
+        cum_incl = jnp.cumsum(onehot, axis=1)
+        cum_excl = cum_incl - onehot
+        # leaf containment at the ray origin
+        o_loc_parts = jnp.zeros((N, l), dtype=bool)
+        for type_id, start, stop in scene.type_slices:
+            sel = [i for i, g in enumerate(leaf_ids) if start <= g < stop]
+            if not sel:
+                continue
+            g_ids = jnp.asarray([leaf_ids[i] for i in sel])
+            w2l = scene.leaf_w2l[g_ids]
+            params = scene.leaf_params[g_ids]
+            p_loc = vmath.transform_point(w2l[None], origin[:, None, :])
+            o_loc_parts = o_loc_parts.at[:, jnp.asarray(sel)].set(
+                _a.CONTAINS_FNS[type_id](p_loc, params[None])
+            )
+        leaf_before = o_loc_parts[:, None, :] ^ (cum_excl % 2 == 1)  # [N, C, l]
+        leaf_after = o_loc_parts[:, None, :] ^ (cum_incl % 2 == 1)
+        inside_b = inside_fn(leaf_before)  # [N, C]
+        inside_a = inside_fn(leaf_after)
         boundary = finite & (inside_b != inside_a)
         t_valid = jnp.where(boundary, t_sorted, _INF)
         best = jnp.argmin(t_valid, axis=-1)
