@@ -2,7 +2,13 @@ from .base import (
     SpectralSlice, FrameSampler1D, FrameSampler2D, Pipeline,
     Observer0D, Observer1D, Observer2D,
 )
-from .imaging import PinholeCamera, OrthographicCamera, CCDArray, VectorCamera
+from .imaging import (
+    PinholeCamera, OrthographicCamera, CCDArray, VectorCamera,
+    OpenCVCamera, TargetedCCDArray,
+)
+from .nonimaging import (
+    Pixel, SightLine, FibreOptic, TargetedPixel, MeshPixel, MeshCamera,
+)
 from .pipelines import (
     RGBPipeline2D, BayerPipeline2D,
     PowerPipeline0D, PowerPipeline1D, PowerPipeline2D,
@@ -23,6 +29,9 @@ __all__ = [
     "SpectralSlice", "FrameSampler1D", "FrameSampler2D", "Pipeline",
     "Observer0D", "Observer1D", "Observer2D",
     "PinholeCamera", "OrthographicCamera", "CCDArray", "VectorCamera",
+    "OpenCVCamera", "TargetedCCDArray",
+    "Pixel", "SightLine", "FibreOptic", "TargetedPixel",
+    "MeshPixel", "MeshCamera",
     "RGBPipeline2D", "BayerPipeline2D",
     "PowerPipeline0D", "PowerPipeline1D", "PowerPipeline2D",
     "RadiancePipeline0D", "RadiancePipeline1D", "RadiancePipeline2D",

@@ -260,6 +260,11 @@ class ObserverBase(_SceneObserver):
         n = int(np.prod(self._pixel_shape)) if self._pixel_shape else 1
         return np.ones(n, dtype=np.float32)
 
+    def _kernel_cache_extra(self):
+        """Extra jit-cache key material for observers whose ray generation
+        captures host-side values (e.g. a target sphere position)."""
+        return ()
+
     def _generate_tasks(self):
         raise NotImplementedError
 
@@ -380,7 +385,9 @@ class ObserverBase(_SceneObserver):
 
         if not hasattr(self, "_kernel_cache"):
             self._kernel_cache = {}
-        cache_key = (id(type(self)), slice_.bins, spp, cfg, tuple(id(p) for p in self.pipelines))
+        cache_key = (id(type(self)), slice_.bins, spp, cfg,
+                     tuple(id(p) for p in self.pipelines),
+                     self._kernel_cache_extra())
         fn = self._kernel_cache.get(cache_key)
         if fn is None:
             fn = jax.jit(kernel)

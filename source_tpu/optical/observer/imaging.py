@@ -23,6 +23,8 @@ __all__ = [
     "OrthographicCamera",
     "CCDArray",
     "VectorCamera",
+    "OpenCVCamera",
+    "TargetedCCDArray",
 ]
 
 
@@ -193,3 +195,148 @@ class VectorCamera(Observer2D):
         d = self.pixel_directions[px, py]
         w = jnp.ones(px.shape, jnp.float32)
         return o, d, w
+
+
+class OpenCVCamera(Observer2D):
+    """Camera-matrix + distortion calibrated camera (imaging/opencv.pyx:43).
+
+    ``camera_matrix`` is the OpenCV 3x3 intrinsic matrix [[fx,0,cx],
+    [0,fy,cy],[0,0,1]] in pixel units; ``distortion`` the 5-vector
+    (k1, k2, p1, p2, k3). Pixel (px, py) maps to normalised coordinates,
+    the radial/tangential distortion is inverted with a fixed-point
+    iteration (jit-friendly), and the ray leaves the aperture through the
+    undistorted image-plane point.
+    """
+
+    _rays_per_sample = 2
+
+    def __init__(self, camera_matrix, distortion=None, pixels=(640, 480),
+                 frame_sampler=None, pipelines=None, parent=None,
+                 transform=None, name=None):
+        camera_matrix = np.asarray(camera_matrix, np.float64)
+        if camera_matrix.shape != (3, 3):
+            raise ValueError("camera_matrix must be 3x3.")
+        distortion = (np.zeros(5) if distortion is None
+                      else np.asarray(distortion, np.float64).reshape(-1))
+        if distortion.shape[0] not in (4, 5):
+            raise ValueError("distortion must have 4 or 5 coefficients.")
+        if distortion.shape[0] == 4:
+            distortion = np.concatenate([distortion, [0.0]])
+        pipelines = pipelines if pipelines is not None else [RGBPipeline2D()]
+        super().__init__(
+            pixels=pixels, frame_sampler=frame_sampler, pipelines=pipelines,
+            parent=parent, transform=transform, name=name,
+        )
+        self.camera_matrix = camera_matrix
+        self.distortion = distortion
+
+    def _kernel_cache_extra(self):
+        return (tuple(self.camera_matrix.ravel()), tuple(self.distortion))
+
+    def _generate_rays_device(self, px, py, u):
+        fx = self.camera_matrix[0, 0]
+        fy = self.camera_matrix[1, 1]
+        cx = self.camera_matrix[0, 2]
+        cy = self.camera_matrix[1, 2]
+        k1, k2, p1, p2, k3 = self.distortion
+        dtype = jnp.float32
+        # jittered distorted pixel -> normalised camera coordinates
+        xd = (px.astype(dtype) + u[..., 0] - cx) / fx
+        yd = (py.astype(dtype) + u[..., 1] - cy) / fy
+        # invert the distortion by fixed-point iteration (x = xd / D(x))
+        x, y = xd, yd
+        for _ in range(5):
+            r2 = x * x + y * y
+            radial = 1.0 + r2 * (k1 + r2 * (k2 + r2 * k3))
+            dx = 2.0 * p1 * x * y + p2 * (r2 + 2.0 * x * x)
+            dy = p1 * (r2 + 2.0 * y * y) + 2.0 * p2 * x * y
+            x = (xd - dx) / radial
+            y = (yd - dy) / radial
+        direction = vmath_normalise_stack(x, y)
+        origin = jnp.zeros_like(direction)
+        weight = direction[..., 2]
+        return origin, direction, weight
+
+
+def vmath_normalise_stack(x, y):
+    from ...core.math import batch as _vm
+
+    return _vm.normalise(jnp.stack([x, y, jnp.ones_like(x)], axis=-1))
+
+
+class TargetedCCDArray(CCDArray):
+    """CCD with targeted direction sampling toward named primitives
+    (imaging/targeted_ccd.pyx:46): a fraction of samples aim uniform cones
+    at each target's bounding sphere, the rest sample the cosine
+    hemisphere; both are weighted by the mixture pdf (one-sample MIS)."""
+
+    _rays_per_sample = 6
+
+    def __init__(self, targets, targeted_path_prob=0.9, **kwargs):
+        super().__init__(**kwargs)
+        if not targets:
+            raise ValueError("At least one target primitive is required.")
+        if not 0 < targeted_path_prob <= 1:
+            raise ValueError("targeted_path_prob must lie in (0, 1].")
+        self.targets = list(targets)
+        self.targeted_path_prob = float(targeted_path_prob)
+
+    def _targets_local(self):
+        out = []
+        for t in self.targets:
+            centre, radius = t.bounding_sphere()
+            c = centre.transform(self.to_local())
+            out.append((c.x, c.y, c.z, radius))
+        return tuple(out)
+
+    def _kernel_cache_extra(self):
+        return self._targets_local()
+
+    def _generate_rays_device(self, px, py, u):
+        import math as _m
+
+        from ...core.math import batch as _vm
+
+        nx, ny = self.pixels
+        delta = self._width / nx
+        sx = 0.5 * nx * delta
+        sy = 0.5 * ny * delta
+        dtype = jnp.float32
+        ox = sx - delta * (px.astype(dtype) + 0.5) + (u[..., 0] - 0.5) * delta
+        oy = sy - delta * (py.astype(dtype) + 0.5) + (u[..., 1] - 0.5) * delta
+        origin = jnp.stack([ox, oy, jnp.zeros_like(ox)], axis=-1)
+
+        targets = jnp.asarray(self._targets_local(), dtype)  # [K, 4]
+        K = targets.shape[0]
+        to_c = targets[None, None, :, :3] - origin[..., None, :]  # [...,K,3]
+        dist = jnp.sqrt(jnp.sum(to_c * to_c, axis=-1) + 1e-30)
+        axis = to_c / dist[..., None]
+        radius = targets[:, 3]
+        sin2 = jnp.clip((radius / dist) ** 2, 0.0, 1.0)
+        cos_max = jnp.sqrt(jnp.clip(1.0 - sin2, 0.0, 1.0))
+        cos_max = jnp.where(dist <= radius, -1.0, cos_max)
+
+        # pick a target uniformly, then cone-sample it
+        t_idx = jnp.clip((u[..., 4] * K).astype(jnp.int32), 0, K - 1)
+        ax = jnp.take_along_axis(axis, t_idx[..., None, None], axis=-2)[..., 0, :]
+        cm = jnp.take_along_axis(cos_max, t_idx[..., None], axis=-1)[..., 0]
+        local_cone = vrand.vector_cone_uniform(u[..., 2], u[..., 3], cm)
+        t_f, b_f, n_f = _vm.make_frame(ax)
+        d_cone = _vm.from_frame(local_cone, t_f, b_f, n_f)
+        d_cos = vrand.vector_hemisphere_cosine(u[..., 2], u[..., 3])
+        p = self.targeted_path_prob
+        pick_cone = u[..., 5] < p
+        direction = jnp.where(pick_cone[..., None], d_cone, d_cos)
+
+        # mixture pdf over all targets + ambient
+        cos_theta = jnp.clip(direction[..., 2], 0.0, 1.0)
+        pdf_cos = cos_theta / _m.pi
+        cos_to = jnp.sum(direction[..., None, :] * axis, axis=-1)  # [...,K]
+        solid_angle = 2.0 * _m.pi * (1.0 - cos_max)
+        pdf_cone_k = jnp.where(
+            cos_to >= cos_max, 1.0 / jnp.maximum(solid_angle, 1e-12), 0.0
+        )
+        pdf = p * jnp.mean(pdf_cone_k, axis=-1) + (1.0 - p) * pdf_cos
+        ok = (pdf > 1e-12) & (direction[..., 2] > 0.0)
+        weight = jnp.where(ok, pdf_cos / jnp.maximum(pdf, 1e-12), 0.0)
+        return origin, direction, weight
