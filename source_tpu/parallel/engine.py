@@ -21,7 +21,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..compiler.scene import CompiledScene
 from ..tracer.wavefront import RayConfig, init_rays, trace_rays, trace_rays_diff
 
-__all__ = ["default_mesh", "ShardedEngine", "render_batch", "render_loss_and_grads"]
+__all__ = ["default_mesh", "ShardedEngine", "render_batch", "render_loss_and_grads",
+           "RenderEngine", "SerialEngine", "MulticoreEngine"]
 
 
 def default_mesh(devices=None, axis_name="rays"):
@@ -91,3 +92,45 @@ def render_loss_and_grads(scene: CompiledScene, cfg: RayConfig, origin,
     # gradients; the float leaves (transforms, params, spectra) are the
     # differentiable scene parameters
     return jax.value_and_grad(loss_fn, allow_int=True)(scene)
+
+
+class RenderEngine:
+    """Render-engine strategy contract (reference core/workflow.py:35-97).
+
+    The reference farms picklable (task, render, update) triples to worker
+    processes; here engines orchestrate device work instead — observers
+    consult ``worker_count()`` for tile sizing and engines may shard the
+    tile kernel over a device mesh.
+    """
+
+    def run(self, tasks, render, update, render_args=(), update_args=()):
+        raise NotImplementedError
+
+    def worker_count(self):
+        raise NotImplementedError
+
+
+class SerialEngine(RenderEngine):
+    """In-order host loop (reference core/workflow.py:100-120): debugging
+    aid and the semantics reference for engine implementations."""
+
+    def run(self, tasks, render, update, render_args=(), update_args=()):
+        for task in tasks:
+            update(render(task, *render_args), *update_args)
+
+    def worker_count(self):
+        return 1
+
+
+class MulticoreEngine(ShardedEngine, RenderEngine):
+    """Name-parity alias for the reference's default engine
+    (core/workflow.py:123): on TPU the "cores" are mesh devices and the
+    task farm is the sharded tile kernel; the serial ``run`` contract is
+    honoured for host-side task lists."""
+
+    def run(self, tasks, render, update, render_args=(), update_args=()):
+        for task in tasks:
+            update(render(task, *render_args), *update_args)
+
+    def worker_count(self):
+        return self.n_devices

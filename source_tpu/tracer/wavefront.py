@@ -46,7 +46,8 @@ from ..optical.material.base import (
 )
 from .intersect import HitRecord, entity_contains, intersect_scene
 
-__all__ = ["RayConfig", "RayState", "init_rays", "trace_rays", "trace_rays_diff"]
+__all__ = ["RayConfig", "RayState", "init_rays", "trace_rays", "trace_rays_diff",
+           "trace_rays_logged"]
 
 _INF = jnp.inf
 _PI = jnp.pi
@@ -548,3 +549,25 @@ def trace_rays_diff(scene: CompiledScene, cfg: RayConfig, state: RayState, key):
 
     final, _ = jax.lax.scan(body, state, jnp.arange(cfg.max_iters))
     return final
+
+
+def trace_rays_logged(scene: CompiledScene, cfg: RayConfig, state: RayState, key):
+    """Path-logging variant (reference LoggingRay, optical/loggingray.pyx:45):
+    a fixed-length scan that records, per bounce, the hit point, entity id,
+    hit flag and segment start for every ray. Returns (final_state, log)
+    where log is a dict of [max_iters, N, ...] arrays."""
+
+    def body(st, i):
+        rec = intersect_scene(scene, st.origin, st.direction)
+        nxt = trace_step(scene, cfg, st, jax.random.fold_in(key, i))
+        entry = {
+            "origin": st.origin,
+            "hit_point": rec.point,
+            "entity": jnp.where(st.alive & rec.hit, rec.entity, -1),
+            "alive": st.alive,
+            "t": jnp.where(rec.hit, rec.t, jnp.inf),
+        }
+        return nxt, entry
+
+    final, log = jax.lax.scan(body, state, jnp.arange(cfg.max_iters))
+    return final, log
