@@ -1,9 +1,9 @@
 from .node import (
     ChangeSignal, GEOMETRY, MATERIAL, NodeBase, Node, Primitive, Observer,
-    World, print_scenegraph,
+    World, print_scenegraph, BridgeNode,
 )
 
 __all__ = [
     "ChangeSignal", "GEOMETRY", "MATERIAL", "NodeBase", "Node", "Primitive",
-    "Observer", "World", "print_scenegraph",
+    "Observer", "World", "print_scenegraph", "BridgeNode",
 ]

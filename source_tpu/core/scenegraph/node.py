@@ -311,3 +311,16 @@ def print_scenegraph(node, indent=0):
     if indent == 0:
         print(text)
     return text
+
+
+class BridgeNode(Node):
+    """Root node that forwards change signals into another scenegraph
+    (core/scenegraph/utility.pyx:39): used to host private subtrees whose
+    geometry changes must invalidate a main World's accelerator."""
+
+    def __init__(self, destination):
+        super().__init__()
+        self.destination = destination
+
+    def _change(self, node, signal):
+        self.destination.root._change(self.destination, signal)

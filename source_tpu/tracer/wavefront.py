@@ -63,6 +63,10 @@ class RayConfig:
     importance_sampling: bool = True
     important_path_weight: float = 0.25
     max_iters: int = 256  # wavefront loop bound (null hops excluded from depth)
+    # differentiable-scan stream compaction: ((steps, shrink_divisor), ...)
+    # — after `steps` bounces, sort alive-first and keep N/divisor lanes.
+    # Empty = off (required under a sharded batch axis).
+    compact_schedule: tuple = ()
 
 
 @jax.tree_util.register_dataclass
@@ -541,14 +545,71 @@ def trace_rays(scene: CompiledScene, cfg: RayConfig, state: RayState, key):
 
 
 def trace_rays_diff(scene: CompiledScene, cfg: RayConfig, state: RayState, key):
-    """Fixed-iteration differentiable variant (lax.scan + remat per bounce)."""
+    """Fixed-iteration differentiable variant (lax.scan + remat per bounce).
+
+    With ``cfg.compact_schedule`` set, the scan is split into stages with
+    *stream compaction* between them: lanes are stably sorted alive-first
+    and the batch is shrunk by the given divisor, so later bounces (where
+    only a few percent of paths survive Russian roulette/escape) stop
+    paying full-batch cost. Everything stays fixed-shape — the gather/
+    scatter is differentiable and the radiance of compacted-away (dead)
+    lanes is already final. If live lanes exceed a stage's capacity the
+    overflow is truncated (same class of bias as the max_iters bound);
+    pick divisors with headroom. Off by default — under a sharded batch
+    axis the sort becomes a cross-device collective, so enable it for
+    single-device rendering (bench) only.
+    """
 
     @jax.checkpoint
     def body(st, i):
         return trace_step(scene, cfg, st, jax.random.fold_in(key, i)), None
 
-    final, _ = jax.lax.scan(body, state, jnp.arange(cfg.max_iters))
-    return final
+    schedule = cfg.compact_schedule
+    if not schedule:
+        final, _ = jax.lax.scan(body, state, jnp.arange(cfg.max_iters))
+        return final
+
+    N = state.origin.shape[0]
+    done = 0
+    st = state
+    # index of each current lane in the ORIGINAL batch
+    lane_ids = jnp.arange(N)
+    radiance_full = None  # final radiance of lanes compacted away so far
+    for steps, divisor in schedule:
+        steps = min(steps, cfg.max_iters - done)
+        if steps <= 0:
+            break
+        st, _ = jax.lax.scan(body, st, jnp.arange(done, done + steps))
+        done += steps
+        M = max(1, st.origin.shape[0] // divisor)
+        order = jnp.argsort(~st.alive, stable=True)  # alive lanes first
+        keep = order[:M]
+        if radiance_full is None:
+            radiance_full = st.radiance
+        else:
+            radiance_full = radiance_full.at[lane_ids].set(st.radiance)
+        lane_ids = lane_ids[keep]
+        st = RayState(
+            origin=st.origin[keep],
+            direction=st.direction[keep],
+            throughput=st.throughput[keep],
+            radiance=st.radiance[keep],
+            alive=st.alive[keep],
+            depth=st.depth[keep],
+            segments=st.segments,
+        )
+    if done < cfg.max_iters:
+        st, _ = jax.lax.scan(body, st, jnp.arange(done, cfg.max_iters))
+    radiance_full = radiance_full.at[lane_ids].set(st.radiance)
+    return RayState(
+        origin=state.origin,
+        direction=state.direction,
+        throughput=state.throughput,
+        radiance=radiance_full,
+        alive=jnp.zeros(N, dtype=bool),
+        depth=state.depth,
+        segments=st.segments,
+    )
 
 
 def trace_rays_logged(scene: CompiledScene, cfg: RayConfig, state: RayState, key):

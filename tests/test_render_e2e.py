@@ -144,3 +144,34 @@ def test_adaptive_sampler_converges():
             break
     # uniform emitter sky: zero variance -> should complete quickly
     assert cam.render_complete
+
+
+def test_diff_compaction_consistent():
+    """Stream-compacted differentiable scan matches the plain scan's
+    expectation (wavefront.trace_rays_diff compact_schedule)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from demos.cornell_box import build_world
+    from source_tpu.compiler import SpectralConfig, compile_scene
+    from source_tpu.parallel.engine import render_batch
+    from source_tpu.tracer.wavefront import RayConfig
+
+    scene = compile_scene(build_world(glass=False), SpectralConfig(375., 740., 6))
+    n = 8192
+    key = jax.random.PRNGKey(0)
+    u = jax.random.uniform(key, (n, 2))
+    d = jnp.stack([(u[:, 0] - .5) * .8, (u[:, 1] - .5) * .8, jnp.ones(n)], -1)
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    o = jnp.broadcast_to(jnp.asarray([0., 0., -3.3]), (n, 3))
+    kw = dict(max_depth=12, extinction_prob=0.1, extinction_min_depth=3,
+              importance_sampling=True, important_path_weight=0.25, max_iters=16)
+    r_p = np.asarray(render_batch(
+        scene, RayConfig(**kw), o, d, jax.random.PRNGKey(1), differentiable=True
+    ).radiance)
+    r_c = np.asarray(render_batch(
+        scene, RayConfig(**kw, compact_schedule=((3, 4), (3, 4))), o, d,
+        jax.random.PRNGKey(1), differentiable=True,
+    ).radiance)
+    assert abs(r_p.mean() - r_c.mean()) / r_p.mean() < 0.05
