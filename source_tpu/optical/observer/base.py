@@ -149,6 +149,10 @@ class ObserverBase(_SceneObserver):
         # wavefront loop bound: paths longer than this are truncated; the
         # reference's recursion depth cap is ray_max_depth
         self.max_wavefront_iters = 64
+        # optional stream-compaction schedule ((steps, divisor), ...) for the
+        # wavefront loop; off by default — enable per scene after checking
+        # alive fractions (see tracer/wavefront.py)
+        self.compact_schedule = ()
 
         self._stats_start = None
         self._stats_rays = 0
@@ -278,6 +282,7 @@ class ObserverBase(_SceneObserver):
             importance_sampling=self._ray_importance_sampling,
             important_path_weight=self._ray_important_path_weight,
             max_iters=self.max_wavefront_iters,
+            compact_schedule=tuple(self.compact_schedule),
         )
 
     def observe(self, seed=None):

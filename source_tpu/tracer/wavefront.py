@@ -528,20 +528,81 @@ def trace_step(scene: CompiledScene, cfg: RayConfig, state: RayState, step_key):
     )
 
 
+def _compact_lanes(st: RayState, divisor: int, lane_ids, radiance_full):
+    """Stably sort lanes alive-first and keep the top N/divisor.
+
+    Returns (sub_state, kept lane ids, full-batch radiance array updated
+    with the current lanes' radiance — dead lanes' values are final).
+    """
+    M = max(1, st.origin.shape[0] // divisor)
+    order = jnp.argsort(~st.alive, stable=True)
+    keep = order[:M]
+    radiance_full = radiance_full.at[lane_ids].set(st.radiance)
+    lane_ids = lane_ids[keep]
+    sub = RayState(
+        origin=st.origin[keep],
+        direction=st.direction[keep],
+        throughput=st.throughput[keep],
+        radiance=st.radiance[keep],
+        alive=st.alive[keep],
+        depth=st.depth[keep],
+        segments=st.segments,
+    )
+    return sub, lane_ids, radiance_full
+
+
 def trace_rays(scene: CompiledScene, cfg: RayConfig, state: RayState, key):
-    """Trace to termination with an early-exit while loop. Returns final state."""
+    """Trace to termination with an early-exit while loop. Returns final state.
 
-    def cond(carry):
-        i, st = carry
-        return (i < cfg.max_iters) & jnp.any(st.alive)
+    ``cfg.compact_schedule`` applies the same staged stream compaction as
+    the differentiable scan (see trace_rays_diff): between while-loop
+    stages the batch sorts alive-first and shrinks, so the long tail of
+    surviving paths no longer holds the full batch width hostage.
+    """
 
-    def body(carry):
-        i, st = carry
-        st = trace_step(scene, cfg, st, jax.random.fold_in(key, i))
-        return i + 1, st
+    def run_range(st, start, end):
+        def cond(carry):
+            i, s = carry
+            return (i < end) & jnp.any(s.alive)
 
-    _, final = jax.lax.while_loop(cond, body, (jnp.int32(0), state))
-    return final
+        def body(carry):
+            i, s = carry
+            s = trace_step(scene, cfg, s, jax.random.fold_in(key, i))
+            return i + 1, s
+
+        _, final = jax.lax.while_loop(cond, body, (jnp.int32(start), st))
+        return final
+
+    schedule = cfg.compact_schedule
+    if not schedule:
+        return run_range(state, 0, cfg.max_iters)
+
+    N = state.origin.shape[0]
+    done = 0
+    st = state
+    lane_ids = jnp.arange(N)
+    radiance_full = jnp.zeros_like(state.radiance)
+    for steps, divisor in schedule:
+        steps = min(steps, cfg.max_iters - done)
+        if steps <= 0:
+            break
+        st = run_range(st, done, done + steps)
+        done += steps
+        st, lane_ids, radiance_full = _compact_lanes(
+            st, divisor, lane_ids, radiance_full
+        )
+    if done < cfg.max_iters:
+        st = run_range(st, done, cfg.max_iters)
+    radiance_full = radiance_full.at[lane_ids].set(st.radiance)
+    return RayState(
+        origin=state.origin,
+        direction=state.direction,
+        throughput=state.throughput,
+        radiance=radiance_full,
+        alive=jnp.zeros(N, dtype=bool),
+        depth=state.depth,
+        segments=st.segments,
+    )
 
 
 def trace_rays_diff(scene: CompiledScene, cfg: RayConfig, state: RayState, key):
@@ -574,29 +635,15 @@ def trace_rays_diff(scene: CompiledScene, cfg: RayConfig, state: RayState, key):
     st = state
     # index of each current lane in the ORIGINAL batch
     lane_ids = jnp.arange(N)
-    radiance_full = None  # final radiance of lanes compacted away so far
+    radiance_full = jnp.zeros_like(state.radiance)
     for steps, divisor in schedule:
         steps = min(steps, cfg.max_iters - done)
         if steps <= 0:
             break
         st, _ = jax.lax.scan(body, st, jnp.arange(done, done + steps))
         done += steps
-        M = max(1, st.origin.shape[0] // divisor)
-        order = jnp.argsort(~st.alive, stable=True)  # alive lanes first
-        keep = order[:M]
-        if radiance_full is None:
-            radiance_full = st.radiance
-        else:
-            radiance_full = radiance_full.at[lane_ids].set(st.radiance)
-        lane_ids = lane_ids[keep]
-        st = RayState(
-            origin=st.origin[keep],
-            direction=st.direction[keep],
-            throughput=st.throughput[keep],
-            radiance=st.radiance[keep],
-            alive=st.alive[keep],
-            depth=st.depth[keep],
-            segments=st.segments,
+        st, lane_ids, radiance_full = _compact_lanes(
+            st, divisor, lane_ids, radiance_full
         )
     if done < cfg.max_iters:
         st, _ = jax.lax.scan(body, st, jnp.arange(done, cfg.max_iters))
