@@ -74,6 +74,51 @@ class _FrameMixin:
         frame.samples[...] = flat_n.reshape(frame.samples.shape)
         frame._refresh_variance()
 
+    # --- checkpoint/resume (reference pickles pipelines mid-render,
+    # e.g. demos/prism.py; SURVEY.md §5.4) --------------------------------------
+
+    def _set_frame(self, frame, pixel_shape):
+        """Install a restored frame (RGBPipeline overrides: xyz_frame)."""
+        self.frame = frame
+        self._shape = pixel_shape
+
+    def save_state(self, path):
+        """Write the accumulated statistics frame to an .npz checkpoint
+        (the reference's pipeline-pickling resume idiom, demos/prism.py)."""
+        frame = self.frame
+        if frame is None:
+            raise RuntimeError("Pipeline has no frame to save (render first).")
+        pixel_shape = np.asarray(self._shape if self._shape else [], np.int64)
+        if isinstance(frame, StatsBin):
+            np.savez(path, kind="bin", mean=frame.mean, m2=frame._m2,
+                     samples=frame.samples, pixel_shape=pixel_shape)
+        else:
+            np.savez(path, kind="array", mean=frame.mean, m2=frame._m2,
+                     samples=frame.samples, pixel_shape=pixel_shape)
+
+    def load_state(self, path):
+        """Restore a checkpoint written by save_state; subsequent observe()
+        passes with accumulate=True continue from it."""
+        z = np.load(path, allow_pickle=False)
+        pixel_shape = tuple(int(v) for v in z["pixel_shape"])
+        if str(z["kind"]) == "bin":
+            frame = StatsBin()
+            frame.mean = float(z["mean"])
+            frame._m2 = float(z["m2"])
+            frame.samples = int(z["samples"])
+            frame.variance = (
+                frame._m2 / (frame.samples - 1) if frame.samples > 1 else 0.0
+            )
+            self._set_frame(frame, pixel_shape)
+        else:
+            dims = z["mean"].shape
+            frame = {1: StatsArray1D, 2: StatsArray2D, 3: StatsArray3D}[len(dims)](*dims)
+            frame.mean[...] = z["mean"]
+            frame._m2[...] = z["m2"]
+            frame.samples[...] = z["samples"]
+            frame._refresh_variance()
+            self._set_frame(frame, pixel_shape)
+
 
 class RGBPipeline2D(Pipeline, _FrameMixin):
     """Spectrum -> CIE XYZ statistics frame with sRGB display/save
@@ -108,6 +153,10 @@ class RGBPipeline2D(Pipeline, _FrameMixin):
     @property
     def frame(self):
         return self.xyz_frame
+
+    def _set_frame(self, frame, pixel_shape):
+        self.xyz_frame = frame
+        self._shape = pixel_shape
 
     def update(self, pixel_ids, mean, m2, n):
         self._fold(self.xyz_frame, self._shape, 3, pixel_ids, mean, m2, n)
@@ -193,6 +242,12 @@ class BayerPipeline2D(Pipeline, _FrameMixin):
             self.frame = self._make_frame(shape, 1)
             self._shape = shape
 
+    def _set_frame(self, frame, pixel_shape):
+        self.frame = frame
+        self._shape = pixel_shape
+        if isinstance(frame, StatsBin):
+            self.value = frame
+
     def update(self, pixel_ids, mean, m2, n):
         self._fold(self.frame, self._shape, 1, pixel_ids, mean, m2, n)
 
@@ -249,6 +304,12 @@ class _MonoPipeline(Pipeline, _FrameMixin):
         if self.frame is None or self._shape != shape or not self.accumulate:
             self.frame = self._make_frame(shape, 1)
             self._shape = shape
+
+    def _set_frame(self, frame, pixel_shape):
+        self.frame = frame
+        self._shape = pixel_shape
+        if isinstance(frame, StatsBin):
+            self.value = frame
 
     def update(self, pixel_ids, mean, m2, n):
         self._fold(self.frame, self._shape, 1, pixel_ids, mean, m2, n)
@@ -359,6 +420,11 @@ class _SpectralPipeline(Pipeline, _FrameMixin):
         self.frame._m2[...] = flat_m2.reshape(self.frame._m2.shape)
         self.frame.samples[...] = flat_n.reshape(self.frame.samples.shape)
         self.frame._refresh_variance()
+
+    def _set_frame(self, frame, pixel_shape):
+        self.frame = frame
+        self._shape = pixel_shape
+        self._total_bins = int(frame.mean.shape[-1])
 
     @property
     def wavelengths(self):
