@@ -390,7 +390,10 @@ class ObserverBase(_SceneObserver):
 
         if not hasattr(self, "_kernel_cache"):
             self._kernel_cache = {}
-        cache_key = (id(type(self)), slice_.bins, spp, cfg,
+        # the slice's offset/range are baked into the kernel closure (the
+        # projection zero-fills at slice_.offset), so they MUST key the cache
+        cache_key = (id(type(self)), slice_.bins, slice_.offset,
+                     slice_.min_wavelength, slice_.max_wavelength, spp, cfg,
                      tuple(id(p) for p in self.pipelines),
                      self._kernel_cache_extra())
         fn = self._kernel_cache.get(cache_key)
