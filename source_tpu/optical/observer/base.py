@@ -398,7 +398,22 @@ class ObserverBase(_SceneObserver):
                      self._kernel_cache_extra())
         fn = self._kernel_cache.get(cache_key)
         if fn is None:
-            fn = jax.jit(kernel)
+            engine = self.render_engine
+            if engine is not None and hasattr(engine, "mesh"):
+                # DP-shard the pixel-tile axis over the engine's device mesh
+                # (SURVEY.md §2.12: pixel tiles are the data-parallel axis;
+                # scene tables replicate; the per-pipeline projections come
+                # back replicated via the jnp reductions inside)
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                tile = NamedSharding(engine.mesh, P(engine.axis_name))
+                repl = NamedSharding(engine.mesh, P())
+                fn = jax.jit(
+                    kernel,
+                    in_shardings=(None, tile, tile, tile, repl, repl),
+                )
+            else:
+                fn = jax.jit(kernel)
             self._kernel_cache[cache_key] = fn
         return fn(scene, px, py, sensitivity, cam_to_world, key)
 

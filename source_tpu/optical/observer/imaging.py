@@ -38,11 +38,12 @@ class PinholeCamera(Observer2D):
 
     def __init__(self, pixels=(512, 512), fov=45.0, sensitivity=1.0,
                  frame_sampler=None, pipelines=None, parent=None,
-                 transform=None, name=None):
+                 transform=None, name=None, render_engine=None):
         pipelines = pipelines if pipelines is not None else [RGBPipeline2D()]
         super().__init__(
             pixels=pixels, frame_sampler=frame_sampler, pipelines=pipelines,
             parent=parent, transform=transform, name=name,
+            render_engine=render_engine,
         )
         self._fov = None
         self._sensitivity = None
@@ -84,11 +85,12 @@ class OrthographicCamera(Observer2D):
 
     def __init__(self, pixels=(512, 512), width=1.0, sensitivity=1.0,
                  frame_sampler=None, pipelines=None, parent=None,
-                 transform=None, name=None):
+                 transform=None, name=None, render_engine=None):
         pipelines = pipelines if pipelines is not None else [RGBPipeline2D()]
         super().__init__(
             pixels=pixels, frame_sampler=frame_sampler, pipelines=pipelines,
             parent=parent, transform=transform, name=name,
+            render_engine=render_engine,
         )
         self._width = None
         self.width = width
@@ -122,11 +124,13 @@ class CCDArray(Observer2D):
     _rays_per_sample = 4
 
     def __init__(self, pixels=(720, 480), width=0.035, frame_sampler=None,
-                 pipelines=None, parent=None, transform=None, name=None):
+                 pipelines=None, parent=None, transform=None, name=None,
+                 render_engine=None):
         pipelines = pipelines if pipelines is not None else [RGBPipeline2D()]
         super().__init__(
             pixels=pixels, frame_sampler=frame_sampler, pipelines=pipelines,
             parent=parent, transform=transform, name=name,
+            render_engine=render_engine,
         )
         self._width = None
         self.width = width
