@@ -104,6 +104,9 @@ def main():
     camera.ray_max_depth = 500
     camera.ray_extinction_min_depth = 3
     camera.ray_extinction_prob = 0.01
+    # measured alive fractions for this scene: 19% after 3 bounces, 2%
+    # after 6 -> 4x shrink stages are safe (see tracer/wavefront.py)
+    camera.compact_schedule = ((3, 4), (3, 4))
 
     render_pass = 1
     max_passes = 2 if small else 10

@@ -321,8 +321,15 @@ class ObserverBase(_SceneObserver):
 
         for tile_idx in range(n_tiles):
             chunk = tasks[tile_idx * T:(tile_idx + 1) * T]
-            pad = T - chunk.shape[0]
-            valid = np.ones(T, dtype=bool)
+            # pad to the next power of two (min 8, for device divisibility),
+            # NOT to the full tile size — a 0D observer's single task must
+            # not explode into tile_size copies of itself
+            t_eff = 8
+            while t_eff < chunk.shape[0]:
+                t_eff *= 2
+            t_eff = min(T, t_eff)
+            pad = t_eff - chunk.shape[0]
+            valid = np.ones(t_eff, dtype=bool)
             if pad:
                 chunk = np.concatenate([chunk, np.repeat(chunk[-1:], pad, axis=0)])
                 valid[-pad:] = False
