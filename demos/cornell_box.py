@@ -6,6 +6,11 @@ Run (real TPU): python demos/cornell_box.py
 Fast CPU smoke: PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu python demos/cornell_box.py --small
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import sys
 import time
 
@@ -104,9 +109,10 @@ def main():
     camera.ray_max_depth = 500
     camera.ray_extinction_min_depth = 3
     camera.ray_extinction_prob = 0.01
-    # measured alive fractions for this scene: 19% after 3 bounces, 2%
-    # after 6 -> 4x shrink stages are safe (see tracer/wavefront.py)
-    camera.compact_schedule = ((3, 4), (3, 4))
+    # measured alive fractions for THIS scene (glass, extinction 0.01):
+    # 21% after 5 bounces, 4.4% after 9 -> 3x then 4x shrinks leave ample
+    # headroom (see tracer/wavefront.py)
+    camera.compact_schedule = ((5, 3), (4, 4))
 
     render_pass = 1
     max_passes = 2 if small else 10

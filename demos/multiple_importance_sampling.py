@@ -8,6 +8,11 @@ Run (real TPU): python demos/multiple_importance_sampling.py
 Fast CPU smoke: PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu python demos/multiple_importance_sampling.py --small
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import sys
 import time
 

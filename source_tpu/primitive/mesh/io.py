@@ -30,8 +30,93 @@ def _mesh_kwargs(kwargs):
 # --- OBJ (obj.py:39,146) ------------------------------------------------------
 
 
+def _load_meshio_native():
+    """Compile/load the C++ OBJ tokenizer (csrc/meshio.cpp); None if
+    unavailable (pure-Python fallback below)."""
+    global _MESHIO_LIB, _MESHIO_FAILED
+    if _MESHIO_LIB is not None or _MESHIO_FAILED:
+        return _MESHIO_LIB
+    import ctypes
+    import os
+    import subprocess
+    import tempfile
+
+    src = os.path.join(os.path.dirname(__file__), "..", "..", "..", "csrc",
+                       "meshio.cpp")
+    src = os.path.abspath(src)
+    if not os.path.exists(src):
+        _MESHIO_FAILED = True
+        return None
+    cache_dir = os.path.join(tempfile.gettempdir(), "source_tpu_native")
+    os.makedirs(cache_dir, exist_ok=True)
+    lib_path = os.path.join(cache_dir, "libmeshio.so")
+    try:
+        if (not os.path.exists(lib_path)
+                or os.path.getmtime(lib_path) < os.path.getmtime(src)):
+            subprocess.run(
+                ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", src,
+                 "-o", lib_path],
+                check=True, capture_output=True,
+            )
+        lib = ctypes.CDLL(lib_path)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+        i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+        lib.obj_count.argtypes = [ctypes.c_char_p, i64p, i64p, i64p]
+        lib.obj_count.restype = ctypes.c_int
+        lib.obj_read.argtypes = [ctypes.c_char_p, f32p, f32p, i32p, i32p]
+        lib.obj_read.restype = ctypes.c_int
+        _MESHIO_LIB = lib
+    except Exception:
+        _MESHIO_FAILED = True
+        _MESHIO_LIB = None
+    return _MESHIO_LIB
+
+
+_MESHIO_LIB = None
+_MESHIO_FAILED = False
+
+
+def _import_obj_native(path, scaling, **kwargs):
+    """Native two-pass OBJ load; returns None when the library is absent."""
+    import ctypes
+
+    lib = _load_meshio_native()
+    if lib is None:
+        return None
+    nv = ctypes.c_int64()
+    nn = ctypes.c_int64()
+    nt = ctypes.c_int64()
+    if lib.obj_count(path.encode(), ctypes.byref(nv), ctypes.byref(nn),
+                     ctypes.byref(nt)) != 0:
+        raise IOError(f"Cannot open OBJ file {path!r}.")
+    vertices = np.empty((nv.value, 3), np.float32)
+    normals = np.empty((max(nn.value, 1), 3), np.float32)
+    triangles = np.empty((nt.value, 3), np.int32)
+    tri_normals = np.empty((nt.value, 3), np.int32)
+    status = lib.obj_read(path.encode(), vertices, normals, triangles, tri_normals)
+    if status < 0:
+        raise IOError(f"Failed to parse OBJ file {path!r}.")
+    vertices *= scaling
+    if status == 1 and nn.value:
+        tris6 = np.concatenate([triangles, tri_normals], axis=1)
+        return Mesh(vertices, tris6, normals=normals, **_mesh_kwargs(kwargs))
+    return Mesh(vertices, triangles, **_mesh_kwargs(kwargs))
+
+
 def import_obj(path, scaling=1.0, **kwargs):
-    """Load a Wavefront OBJ file (v/vn/f records; polygons fan-triangulated)."""
+    """Load a Wavefront OBJ file (v/vn/f records; polygons fan-triangulated).
+
+    Uses the native C++ tokenizer (csrc/meshio.cpp) when it builds,
+    falling back to the pure-Python parser.
+    """
+    mesh = _import_obj_native(path, scaling, **kwargs)
+    if mesh is not None:
+        return mesh
+    return _import_obj_python(path, scaling, **kwargs)
+
+
+def _import_obj_python(path, scaling=1.0, **kwargs):
     vertices, normals, faces, face_normal_ids = [], [], [], []
     with open(path) as f:
         for line in f:

@@ -528,23 +528,36 @@ def trace_step(scene: CompiledScene, cfg: RayConfig, state: RayState, step_key):
     )
 
 
-def _compact_lanes(st: RayState, divisor: int, lane_ids, radiance_full):
-    """Stably sort lanes alive-first and keep the top N/divisor.
+def _compact_lanes(st: RayState, divisor: int, lane_ids, radiance_full, key):
+    """Sort lanes alive-first (random order within the alive block) and
+    keep the top N/divisor.
+
+    If more than N/divisor lanes are alive, a random subset survives and
+    its throughput scales by alive/M — Russian-roulette reweighting, so
+    compaction stays UNBIASED under overflow (extra variance instead of
+    truncation bias).
 
     Returns (sub_state, kept lane ids, full-batch radiance array updated
     with the current lanes' radiance — dead lanes' values are final).
     """
-    M = max(1, st.origin.shape[0] // divisor)
-    order = jnp.argsort(~st.alive, stable=True)
+    N = st.origin.shape[0]
+    M = max(1, N // divisor)
+    r = jax.random.uniform(key, (N,))
+    # primary key: dead lanes last; secondary: random (uniform subsampling)
+    order = jnp.lexsort((r, ~st.alive))
     keep = order[:M]
+    alive_count = jnp.sum(st.alive)
+    overflow_scale = jnp.maximum(alive_count.astype(st.throughput.dtype) / M, 1.0)
     radiance_full = radiance_full.at[lane_ids].set(st.radiance)
     lane_ids = lane_ids[keep]
+    alive_kept = st.alive[keep]
+    thr_kept = st.throughput[keep] * jnp.where(alive_kept, overflow_scale, 1.0)[:, None]
     sub = RayState(
         origin=st.origin[keep],
         direction=st.direction[keep],
-        throughput=st.throughput[keep],
+        throughput=thr_kept,
         radiance=st.radiance[keep],
-        alive=st.alive[keep],
+        alive=alive_kept,
         depth=st.depth[keep],
         segments=st.segments,
     )
@@ -589,7 +602,8 @@ def trace_rays(scene: CompiledScene, cfg: RayConfig, state: RayState, key):
         st = run_range(st, done, done + steps)
         done += steps
         st, lane_ids, radiance_full = _compact_lanes(
-            st, divisor, lane_ids, radiance_full
+            st, divisor, lane_ids, radiance_full,
+            jax.random.fold_in(key, 1_000_000 + done),
         )
     if done < cfg.max_iters:
         st = run_range(st, done, cfg.max_iters)
@@ -643,7 +657,8 @@ def trace_rays_diff(scene: CompiledScene, cfg: RayConfig, state: RayState, key):
         st, _ = jax.lax.scan(body, st, jnp.arange(done, done + steps))
         done += steps
         st, lane_ids, radiance_full = _compact_lanes(
-            st, divisor, lane_ids, radiance_full
+            st, divisor, lane_ids, radiance_full,
+            jax.random.fold_in(key, 1_000_000 + done),
         )
     if done < cfg.max_iters:
         st, _ = jax.lax.scan(body, st, jnp.arange(done, cfg.max_iters))
