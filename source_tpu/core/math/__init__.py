@@ -9,6 +9,16 @@ from .transform import (
     extract_translation,
 )
 from .statsarray import StatsBin, StatsArray1D, StatsArray2D, StatsArray3D
+from .sampler import (
+    SolidAngleSampler, SphereSampler, HemisphereUniformSampler,
+    HemisphereCosineSampler, ConeUniformSampler,
+    DiskSampler3D, RectangleSampler3D, TriangleSampler3D,
+    TargetedHemisphereSampler, TargetedSphereSampler,
+)
+from .units import (
+    kilometre, metre, centimetre, millimetre, micrometre, nanometre,
+    mile, yard, foot, inch, mil, degree, radian, km, cm, mm, um, nm,
+)
 from . import batch, random, interp, polyroots
 
 __all__ = [
@@ -18,5 +28,12 @@ __all__ = [
     "rotate", "rotate_basis", "to_cylindrical", "from_cylindrical",
     "extract_rotation", "extract_translation",
     "StatsBin", "StatsArray1D", "StatsArray2D", "StatsArray3D",
+    "SolidAngleSampler", "SphereSampler", "HemisphereUniformSampler",
+    "HemisphereCosineSampler", "ConeUniformSampler",
+    "DiskSampler3D", "RectangleSampler3D", "TriangleSampler3D",
+    "TargetedHemisphereSampler", "TargetedSphereSampler",
+    "kilometre", "metre", "centimetre", "millimetre", "micrometre",
+    "nanometre", "mile", "yard", "foot", "inch", "mil", "degree", "radian",
+    "km", "cm", "mm", "um", "nm",
     "batch", "random", "interp", "polyroots",
 ]

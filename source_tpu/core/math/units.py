@@ -12,6 +12,8 @@ __all__ = [
     "kilometre", "metre", "centimetre", "millimetre", "micrometre",
     "nanometre", "mile", "yard", "foot", "inch", "mil",
     "degree", "radian",
+    # reference-compatible short names (units.pyx:35-135)
+    "km", "cm", "mm", "um", "nm",
 ]
 
 
@@ -61,8 +63,20 @@ def mil(v):
 
 
 def degree(v):
+    """Degrees to radians (extension; the reference's angle helper is
+    ``radian`` below)."""
     return v * (math.pi / 180.0)
 
 
 def radian(v):
-    return v * 1.0
+    """Radians to degrees (matches units.pyx:135 — raysect's angular API
+    takes degrees, so this converts *to* its convention)."""
+    return v * (180.0 / math.pi)
+
+
+# reference-compatible short names (units.pyx:35-135)
+km = kilometre
+cm = centimetre
+mm = millimetre
+um = micrometre
+nm = nanometre

@@ -264,6 +264,7 @@ class World(NodeBase):
         self._observers = []
         self._scene_dirty = True
         self._material_dirty = True
+        self._query_scene = None  # lazy CompiledScene for hit/contains queries
 
     @property
     def primitives(self):
@@ -297,6 +298,91 @@ class World(NodeBase):
             self._material_dirty = True
         elif signal is MATERIAL:
             self._material_dirty = True
+        self._query_scene = None
+
+    # --- interactive scene queries (core/scenegraph/world.pyx:125-163) -------------
+
+    def _build_query_scene(self):
+        """Lazily compile the scene for host-side hit/contains queries — the
+        TPU analogue of the reference's lazy accelerator build
+        (world.pyx:170-194). One spectral bin: geometry queries don't touch
+        the spectral tables."""
+        if self._query_scene is None:
+            from ...compiler.scene import SpectralConfig, compile_scene
+
+            self._query_scene = compile_scene(
+                self, SpectralConfig(375.0, 740.0, 1)
+            )
+        return self._query_scene
+
+    def build_accelerator(self, force=False):
+        """Reference-compatible alias for the lazy scene compile
+        (world.pyx:170)."""
+        if force:
+            self._query_scene = None
+        self._build_query_scene()
+
+    def hit(self, ray):
+        """Find the closest intersection of ``ray`` with the scene, or None
+        (world.pyx:125-147). Returns a core ``Intersection`` whose
+        hit/inside/outside points and normal are in the hit primitive's
+        local space, matching the reference contract."""
+        import numpy as np
+
+        from ..intersection import Intersection
+        from ..math.vector import Normal3D, Point3D
+        from ...tracer.intersect import intersect_scene
+
+        scene = self._build_query_scene()
+        o = np.asarray(
+            [[ray.origin.x, ray.origin.y, ray.origin.z]], dtype=np.float32
+        )
+        d = np.asarray(
+            [[ray.direction.x, ray.direction.y, ray.direction.z]],
+            dtype=np.float32,
+        )
+        n = float(np.linalg.norm(d[0]))
+        if n == 0.0:
+            raise ValueError("Ray direction cannot be a zero-length vector.")
+        rec = intersect_scene(scene, o, d / n)
+        if not bool(rec.hit[0]):
+            return None
+        t = float(rec.t[0]) / n
+        if t > ray.max_distance:
+            return None
+        prim = self._primitives[int(rec.entity[0])]
+        w2p = prim.to_local()
+        p2w = prim.to_root()
+        point = np.asarray(rec.point[0])
+        inside = np.asarray(rec.inside_point[0])
+        outside = np.asarray(rec.outside_point[0])
+        normal = np.asarray(rec.normal[0])
+        exiting = bool(rec.exiting[0])
+        hit_point = Point3D(*point).transform(w2p)
+        inside_point = Point3D(*inside).transform(w2p)
+        outside_point = Point3D(*outside).transform(w2p)
+        # world->local normal: inverse-transpose uses the local->world matrix.
+        # Stays the OUTWARD surface normal regardless of `exiting`
+        # (sphere.pyx:183-197 convention).
+        local_normal = Normal3D(*normal).transform(p2w).normalise()
+        return Intersection(
+            ray, t, prim, hit_point, inside_point, outside_point,
+            local_normal, exiting, w2p, p2w,
+        )
+
+    def contains(self, point):
+        """List of primitives containing ``point`` (world.pyx:149-163)."""
+        import numpy as np
+
+        from ...tracer.intersect import entity_contains
+
+        scene = self._build_query_scene()
+        p = np.asarray([[point.x, point.y, point.z]], dtype=np.float32)
+        inside = np.asarray(entity_contains(scene, p))[0]  # [E]
+        return [
+            self._primitives[e] for e in range(len(self._primitives))
+            if bool(inside[e])
+        ]
 
     def __repr__(self):
         return f"<World: {self.name!r}>"
