@@ -19,7 +19,14 @@ from .units import (
     kilometre, metre, centimetre, millimetre, micrometre, nanometre,
     mile, yard, foot, inch, mil, degree, radian, km, cm, mm, um, nm,
 )
-from . import batch, random, interp, polyroots
+from .triangle import (
+    barycentric_coords, barycentric_coords_tetra, barycentric_interpolation,
+    barycentric_interpolation_tetra, barycentric_inside_tetrahedra,
+    barycentric_inside_triangle, inside_tetrahedra, inside_triangle,
+    point_inside_polygon, winding2d,
+)
+from .polygon import triangulate2d
+from . import batch, random, interp, polyroots, triangle
 
 __all__ = [
     "Vector3D", "Point3D", "Normal3D", "Vector2D", "Point2D",
@@ -35,5 +42,10 @@ __all__ = [
     "kilometre", "metre", "centimetre", "millimetre", "micrometre",
     "nanometre", "mile", "yard", "foot", "inch", "mil", "degree", "radian",
     "km", "cm", "mm", "um", "nm",
-    "batch", "random", "interp", "polyroots",
+    "inside_triangle", "barycentric_coords", "barycentric_inside_triangle",
+    "barycentric_interpolation", "inside_tetrahedra",
+    "barycentric_coords_tetra", "barycentric_inside_tetrahedra",
+    "barycentric_interpolation_tetra", "winding2d", "point_inside_polygon",
+    "triangulate2d",
+    "batch", "random", "interp", "polyroots", "triangle",
 ]

@@ -14,6 +14,7 @@ from .base import (
 )
 from .interpolate import Interpolator1DArray, Interpolator2DArray, Interpolator3DArray
 from .mesh_interp import Discrete2DMesh, Discrete3DMesh, Interpolator2DMesh
+from .samplers import sample1d, sample1d_points
 
 __all__ = [
     "Function1D", "Function2D", "Function3D",
@@ -29,6 +30,7 @@ __all__ = [
     "Erf1D", "Erf2D", "Erf3D", "Sqrt1D", "Sqrt2D", "Sqrt3D",
     "Interpolator1DArray", "Interpolator2DArray", "Interpolator3DArray",
     "Interpolator2DMesh", "Discrete2DMesh", "Discrete3DMesh",
+    "sample1d", "sample1d_points",
 ]
 
 from .vector3d import (  # noqa: E402
