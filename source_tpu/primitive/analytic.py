@@ -123,10 +123,13 @@ def normal_box(p, params):
     half = jnp.maximum(0.5 * (upper - lower), 1e-30)
     q = (p - centre) / half
     ax = jnp.abs(q)
-    # one-hot of the face with the largest normalised coordinate
-    m = jnp.argmax(ax, axis=-1)
-    onehot = jnp.eye(3, dtype=p.dtype)[m]
-    return onehot * jnp.sign(jnp.take_along_axis(q, m[..., None], axis=-1))
+    # one-hot of the face with the largest normalised coordinate, built from
+    # comparisons (an eye[argmax] row gather serializes on TPU); cumsum
+    # tie-breaks toward the first axis
+    is_max = ax >= jnp.max(ax, axis=-1, keepdims=True)
+    onehot = is_max & (jnp.cumsum(is_max, axis=-1) == 1)
+    sign = jnp.where(jnp.sum(jnp.where(onehot, q, 0.0), axis=-1, keepdims=True) >= 0, 1.0, -1.0)
+    return onehot.astype(p.dtype) * sign
 
 
 def contains_box(p, params):

@@ -125,7 +125,7 @@ def _leaf_normal(scene: CompiledScene, leaf_idx, p_local):
     Dynamic type dispatch via compute-all-and-select — 6 cheap closed forms
     on [N,3] data.
     """
-    params = scene.leaf_params[leaf_idx]  # [N,PB]
+    params = vmath.select_rows(scene.leaf_params, leaf_idx)  # [N,PB]
     # leaf type per ray from the static type slices
     leaf_type = jnp.zeros_like(leaf_idx)
     for type_id, start, stop in scene.type_slices:
@@ -267,12 +267,12 @@ def intersect_scene(scene: CompiledScene, origin, direction, t_min_scale=None):
         simple_leaf = jnp.asarray(
             [max(i, 0) for i in scene.simple_leaf_of_entity], dtype=jnp.int32
         )
-        leaf = simple_leaf[entity]
+        leaf = vmath.select_rows(simple_leaf, entity)
         for e, bt, bleaf, _ in csg_t:
             leaf = jnp.where(entity == e, bleaf.astype(jnp.int32), leaf)
 
         # outward leaf normal at hit (local -> world with inverse-transpose)
-        w2l = scene.leaf_w2l[leaf]
+        w2l = vmath.select_rows(scene.leaf_w2l, leaf)
         p_local = vmath.transform_point(w2l, point)
         n_local = _leaf_normal(scene, leaf, p_local)
         n_world = vmath.normalise(vmath.transform_normal(w2l, n_local))
@@ -281,7 +281,9 @@ def intersect_scene(scene: CompiledScene, origin, direction, t_min_scale=None):
         # simple entities: leaf containment at p - delta*d
         p_before = origin + (t_safe - delta)[:, None] * direction
         lc_before = leaf_contains(scene, p_before)  # [N, L]
-        inside_before = jnp.take_along_axis(lc_before, leaf[:, None], axis=-1)[:, 0]
+        # one-hot row pick (take_along_axis gathers serialize on TPU)
+        leaf_onehot = leaf[:, None] == jnp.arange(scene.n_leaves)[None, :]
+        inside_before = jnp.any(lc_before & leaf_onehot, axis=-1)
     else:
         leaf = jnp.zeros((N,), jnp.int32)
         n_world = jnp.zeros_like(point)

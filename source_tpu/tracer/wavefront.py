@@ -125,8 +125,10 @@ def important_direction_sample(scene: CompiledScene, point, u):
     # pick sphere by cdf
     idx = jnp.searchsorted(scene.imp_cdf, u[:, 0], side="left")
     idx = jnp.clip(idx, 0, scene.imp_cdf.shape[0] - 1)
-    ax = jnp.take_along_axis(axis, idx[:, None, None], axis=1)[:, 0]
-    cm = jnp.take_along_axis(cos_max, idx[:, None], axis=1)[:, 0]
+    # one-hot row pick over the small sphere axis (gathers serialize on TPU)
+    onehot = idx[:, None] == jnp.arange(scene.imp_cdf.shape[0])[None, :]
+    ax = jnp.sum(jnp.where(onehot[..., None], axis, 0.0), axis=1)
+    cm = jnp.sum(jnp.where(onehot, cos_max, 0.0), axis=1)
     local = vrand.vector_cone_uniform(u[:, 1], u[:, 2], cm)
     t, b, n = vmath.make_frame(ax)
     return vmath.from_frame(local, t, b, n)
@@ -190,7 +192,7 @@ def _surface_interaction(scene: CompiledScene, cfg: RayConfig, state: RayState,
     B = state.throughput.shape[1]
     dtype = state.origin.dtype
 
-    mat_id = scene.entity_material[jnp.maximum(rec.entity, 0)]
+    mat_id = vmath.select_rows(scene.entity_material, jnp.maximum(rec.entity, 0))
 
     # mix modifiers (Blend/Add): reroll the material id before gathering.
     # Remaps are sorted ascending so nested mixes resolve in one sweep;
@@ -204,10 +206,10 @@ def _surface_interaction(scene: CompiledScene, cfg: RayConfig, state: RayState,
         if add_weight != 1.0:
             lane_weight = jnp.where(is_mix, lane_weight * add_weight, lane_weight)
 
-    mat_types = jnp.asarray(scene.mat_types, jnp.int32)[mat_id]  # [N]
-    spectra = scene.mat_spectra[mat_id]  # [N, NSLOTS, B]
-    params = scene.mat_params[mat_id]  # [N, NPARAMS]
-    scalars = scene.mat_scalars[mat_id]  # [N, NSCALARS]
+    mat_types = vmath.select_rows(jnp.asarray(scene.mat_types, jnp.int32), mat_id)  # [N]
+    spectra = vmath.select_rows(scene.mat_spectra, mat_id)  # [N, NSLOTS, B]
+    params = vmath.select_rows(scene.mat_params, mat_id)  # [N, NPARAMS]
+    scalars = vmath.select_rows(scene.mat_scalars, mat_id)  # [N, NSCALARS]
 
     d = state.direction
     n = rec.normal  # outward solid normal
@@ -266,7 +268,7 @@ def _surface_interaction(scene: CompiledScene, cfg: RayConfig, state: RayState,
         m = mat_types == MAT_CHECKERBOARD
         width = jnp.maximum(params[:, 0], 1e-12)
         # local-space checker parity (checkerboard.pyx:39)
-        w2l = scene.leaf_w2l[rec.leaf]
+        w2l = vmath.select_rows(scene.leaf_w2l, rec.leaf)
         p_loc = vmath.transform_point(w2l, rec.point)
         cells = jnp.floor(p_loc / width[:, None]).astype(jnp.int32)
         parity = (cells[:, 0] + cells[:, 1] + cells[:, 2]) % 2 == 0
