@@ -195,9 +195,12 @@ class VectorCamera(Observer2D):
         self.pixel_directions = jnp.asarray(pixel_directions)
 
     def _generate_rays_device(self, px, py, u):
-        o = self.pixel_origins[px, py]
-        d = self.pixel_directions[px, py]
-        w = jnp.ones(px.shape, jnp.float32)
+        # broadcast the per-pixel calibrated rays over the sample axis
+        # (px/py are [T,1]; u carries the [T,spp] sample shape)
+        shape = u.shape[:-1]
+        o = jnp.broadcast_to(self.pixel_origins[px, py], shape + (3,))
+        d = jnp.broadcast_to(self.pixel_directions[px, py], shape + (3,))
+        w = jnp.ones(shape, jnp.float32)
         return o, d, w
 
 

@@ -157,3 +157,21 @@ def test_targeted_ccd_renders():
     # values carry the one-sample-MIS variance at this sample count)
     expected = np.pi * (0.035 / 8) ** 2 * DLAM
     assert abs(vals.mean() - expected) / expected < 0.05, (vals.mean(), expected)
+
+
+def test_vector_camera_furnace():
+    """VectorCamera in a unity furnace must read exactly 1.0 radiance per
+    pixel for every sample count (regression: per-pixel calibrated rays must
+    broadcast over the spp axis)."""
+    from source_tpu.optical.observer import RadiancePipeline2D, VectorCamera
+
+    nx, ny = 4, 3
+    dirs = np.tile(np.array([0.0, 0.0, 1.0]), (nx, ny, 1))
+    pipe = RadiancePipeline2D(accumulate=False)
+    cam = VectorCamera(np.zeros((nx, ny, 3)), dirs, pipelines=[pipe])
+    _furnace(cam)
+    cam.pixel_samples = 5  # != 1 exercises the sample-axis broadcast
+    cam.ray_extinction_prob = 0.0
+    cam.observe(seed=7)
+    assert pipe.frame.mean.shape == (nx, ny)
+    assert np.allclose(pipe.frame.mean, DLAM, rtol=1e-4), pipe.frame.mean
