@@ -139,6 +139,14 @@ class MeshData:
         import jax.numpy as jnp
 
         from ...tracer.meshtrace import MeshTables
+        from ...tracer.pallas_mesh import pack_mesh_host
+
+        packed = pack_mesh_host(
+            self.vertices, self.triangles, self.bvh.node_lo, self.bvh.node_hi,
+            self.bvh.node_skip, self.bvh.node_first, self.bvh.node_count,
+        )
+        if packed is not None:
+            packed = {k: jnp.asarray(v) for k, v in packed.items()}
 
         return MeshTables(
             vertices=jnp.asarray(self.vertices, dtype),
@@ -152,6 +160,7 @@ class MeshData:
             node_count=jnp.asarray(self.bvh.node_count, jnp.int32),
             w2l=jnp.asarray(w2l, dtype),
             l2w=jnp.asarray(l2w, dtype),
+            packed=packed,
             n_nodes=self.bvh.n_nodes,
             max_leaf=self.max_leaf,
             smoothing=self.smoothing,

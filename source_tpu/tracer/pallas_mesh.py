@@ -1,0 +1,278 @@
+"""Pallas TPU packet-traversal kernel for mesh BVH intersection.
+
+The XLA expression of the stackless traversal (meshtrace.py) performs one
+dynamic HBM gather per ray lane per tree step — on TPU those gathers
+serialize, measuring ~3 s for 262k rays against a 1.3k-triangle mesh
+(≈1000x off speed-of-light). This kernel restructures the traversal the
+TPU way (reference algorithm: raysect mesh.pyx:506-713 kd traversal +
+triangle test):
+
+  * rays are processed in TILES of 8x128 = 1024 (one VPU register shape);
+  * the whole BVH (threaded skip-pointer layout, accel/bvh.py) and the
+    BVH-permuted triangle vertices live in VMEM, packed lane-major as
+    [ceil(n/128), 128] planes so a node/triangle read is a scalar 2-D
+    index, not a vector gather;
+  * each tile walks the tree with ONE shared node pointer (packet
+    traversal): descend if ANY lane's slab test hits, else follow the
+    skip pointer. Leaf triangles are tested by broadcasting the (up to
+    max_leaf) triangles against all 1024 lanes on the VPU.
+
+Coherent tiles (camera rays, compaction-sorted bounce rays) visit near
+the per-ray optimal node set; fully divergent tiles degrade toward the
+union of their rays' paths — still VPU-wide arithmetic with zero gathers.
+
+Differentiability: the kernel is wrapped in jax.custom_vjp. The backward
+pass recomputes the Möller–Trumbore system for the (saved) winning
+triangle per ray in plain JAX and differentiates that — identical
+cotangents to AD through the full traversal, because only the winning
+triangle's test contributes to the output (the argmin selection is
+piecewise constant).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_TILE = 1024  # rays per packet: 8 sublanes x 128 lanes
+_LANES = 128
+
+
+def _pack_plane(arr, dtype):
+    """Host-pack a 1-D array as a lane-major [ceil(n/128), 128] plane."""
+    a = np.asarray(arr, dtype)
+    n = a.shape[0]
+    rows = max(1, -(-n // _LANES))
+    out = np.zeros((rows, _LANES), dtype)
+    out.reshape(-1)[:n] = a
+    return out
+
+
+TABLE_ORDER = ("nodes", "tris")
+
+# VMEM budget for the packed tables; larger meshes fall back to the XLA path
+VMEM_TABLE_LIMIT = 10 * 1024 * 1024
+
+_REC = 16      # lanes per record (9 fields used, 16 for alignment)
+_REC_PER_ROW = _LANES // _REC  # 8 records per 128-lane row
+
+
+def _pack_records(fields):
+    """Pack k<=16 per-item f32 fields as 16-lane records, 8 per row."""
+    n = fields[0].shape[0]
+    rows = max(1, -(-n // _REC_PER_ROW))
+    out = np.zeros((rows, _LANES), np.float32)
+    flat = out.reshape(-1, _REC)
+    for f, col in enumerate(fields):
+        flat[:n, f] = col.astype(np.float32)
+    return out
+
+
+def pack_mesh_host(vertices, triangles, node_lo, node_hi, node_skip,
+                   node_first, node_count):
+    """Host-side packing for the packet kernel: one 16-lane f32 record per
+    BVH node (lo.xyz, hi.xyz, skip, first, count) and per triangle
+    (v0.xyz, v1.xyz, v2.xyz), 8 records per 128-lane VMEM row, so the
+    kernel reads a record with ONE dynamic-sublane row load. Integer fields
+    are stored as exact f32 (indices < 2^24). Returns None when the tables
+    exceed the VMEM budget (the XLA path handles those meshes)."""
+    tris = np.asarray(triangles)
+    verts = np.asarray(vertices).astype(np.float32)
+    lo = np.asarray(node_lo, np.float32)
+    hi = np.asarray(node_hi, np.float32)
+    if max(len(tris), len(node_skip)) >= (1 << 24):
+        return None  # f32-exact integer range exceeded
+    v0 = verts[tris[:, 0]]
+    v1 = verts[tris[:, 1]]
+    v2 = verts[tris[:, 2]]
+    packed = {
+        "nodes": _pack_records([
+            lo[:, 0], lo[:, 1], lo[:, 2], hi[:, 0], hi[:, 1], hi[:, 2],
+            np.asarray(node_skip), np.asarray(node_first),
+            np.asarray(node_count),
+        ]),
+        "tris": _pack_records([
+            v0[:, 0], v0[:, 1], v0[:, 2], v1[:, 0], v1[:, 1], v1[:, 2],
+            v2[:, 0], v2[:, 1], v2[:, 2],
+        ]),
+    }
+    if sum(v.nbytes for v in packed.values()) > VMEM_TABLE_LIMIT:
+        return None
+    return packed
+
+
+def _kernel(n_nodes, max_leaf,
+            o_ref, d_ref, tmin_ref, nodes_ref, tris_ref,
+            t_out, tri_out, u_out, v_out, front_out):
+    # ray components as (8, 128) registers
+    ox, oy, oz = o_ref[0], o_ref[1], o_ref[2]
+    dx, dy, dz = d_ref[0], d_ref[1], d_ref[2]
+    t_min = tmin_ref[0]
+
+    big = jnp.float32(3e38)
+
+    def safe_inv(x):
+        ok = jnp.abs(x) > 1e-12
+        return jnp.where(ok, 1.0 / jnp.where(ok, x, 1.0), big)
+
+    ix, iy, iz = safe_inv(dx), safe_inv(dy), safe_inv(dz)
+
+    _iota = jax.lax.broadcasted_iota(jnp.int32, (1, _LANES), 1)
+
+    def read_record(plane, idx):
+        """ONE dynamic-sublane row load + 9 masked lane extracts (Mosaic
+        cannot vector-load at a dynamic lane index, but a dynamic row is
+        fine; the 8-records-per-row layout keeps the table dense)."""
+        row = plane[pl.ds(idx // _REC_PER_ROW, 1), :]  # (1, 128)
+        base = (idx % _REC_PER_ROW) * _REC
+        zeros = jnp.zeros_like(row)
+        return [jnp.sum(jnp.where(_iota == base + f, row, zeros))
+                for f in range(9)]
+
+    def tri_test(k_first, carry):
+        t_best, tri_best, u_best, v_best, f_best, lane_ok = carry
+        ax, ay, az, bx, by, bz, cx, cy, cz = read_record(tris_ref, k_first)
+        e1x, e1y, e1z = bx - ax, by - ay, bz - az
+        e2x, e2y, e2z = cx - ax, cy - ay, cz - az
+        # p = d x e2
+        px = dy * e2z - dz * e2y
+        py = dz * e2x - dx * e2z
+        pz = dx * e2y - dy * e2x
+        det = e1x * px + e1y * py + e1z * pz
+        ok = jnp.abs(det) > 1e-12
+        inv = jnp.where(ok, 1.0 / jnp.where(ok, det, 1.0), 0.0)
+        tx, ty, tz = ox - ax, oy - ay, oz - az
+        u = (tx * px + ty * py + tz * pz) * inv
+        # q = t x e1
+        qx = ty * e1z - tz * e1y
+        qy = tz * e1x - tx * e1z
+        qz = tx * e1y - ty * e1x
+        v = (dx * qx + dy * qy + dz * qz) * inv
+        t = (e2x * qx + e2y * qy + e2z * qz) * inv
+        tol = 1e-6
+        valid = (ok & (u >= -tol) & (v >= -tol) & (u + v <= 1.0 + tol)
+                 & (t > t_min) & lane_ok)
+        better = valid & (t < t_best)
+        t_best = jnp.where(better, t, t_best)
+        tri_best = jnp.where(better, k_first, tri_best)
+        u_best = jnp.where(better, u, u_best)
+        v_best = jnp.where(better, v, v_best)
+        f_best = jnp.where(better, (det > 0.0).astype(jnp.int32), f_best)
+        return t_best, tri_best, u_best, v_best, f_best, lane_ok
+
+    def body(carry):
+        node, t_best, tri_best, u_best, v_best, f_best = carry
+        (blx, bly, blz, bhx, bhy, bhz, f_skip, f_first, f_count) = read_record(
+            nodes_ref, node)
+        # slab test against every lane
+        t0x = (blx - ox) * ix; t1x = (bhx - ox) * ix
+        t0y = (bly - oy) * iy; t1y = (bhy - oy) * iy
+        t0z = (blz - oz) * iz; t1z = (bhz - oz) * iz
+        tnear = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
+                                        jnp.minimum(t0y, t1y)),
+                            jnp.minimum(t0z, t1z))
+        tfar = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
+                                       jnp.maximum(t0y, t1y)),
+                           jnp.maximum(t0z, t1z))
+        lane_hit = (tfar >= jnp.maximum(tnear, 0.0)) & (tnear < t_best)
+        any_hit = jnp.any(lane_hit)
+        # int fields travel as exact f32 (indices < 2^24)
+        n_skip = f_skip.astype(jnp.int32)
+        n_first = f_first.astype(jnp.int32)
+        n_count = f_count.astype(jnp.int32)
+        is_leaf = n_count > 0
+
+        def do_leaf(c):
+            t_b, tri_b, u_b, v_b, f_b, ok = c
+            for k in range(max_leaf):
+                take = k < n_count
+                # clamp the triangle id; `take` masks the result
+                tid = jnp.where(take, n_first + k, 0)
+                t_b, tri_b, u_b, v_b, f_b, _ = tri_test(
+                    tid, (t_b, tri_b, u_b, v_b, f_b, ok & take & lane_hit))
+            return t_b, tri_b, u_b, v_b, f_b, ok
+
+        leaf_carry = (t_best, tri_best, u_best, v_best, f_best,
+                      jnp.ones_like(lane_hit))
+        t_best, tri_best, u_best, v_best, f_best, _ = jax.lax.cond(
+            any_hit & is_leaf, do_leaf, lambda c: c, leaf_carry)
+
+        nxt = jnp.where(any_hit & ~is_leaf, node + 1, n_skip)
+        return nxt, t_best, tri_best, u_best, v_best, f_best
+
+    def cond(carry):
+        return carry[0] < n_nodes
+
+    shape = ox.shape
+    init = (
+        jnp.int32(0),
+        jnp.full(shape, big, jnp.float32),
+        jnp.full(shape, -1, jnp.int32),
+        jnp.zeros(shape, jnp.float32),
+        jnp.zeros(shape, jnp.float32),
+        jnp.zeros(shape, jnp.int32),
+    )
+    _, t_best, tri_best, u_best, v_best, f_best = jax.lax.while_loop(
+        cond, body, init)
+    t_out[...] = t_best
+    tri_out[...] = tri_best
+    u_out[...] = u_best
+    v_out[...] = v_best
+    front_out[...] = f_best
+
+
+def mesh_intersect_pallas_fwd_impl(mesh, origin, direction, t_min):
+    """Forward packet traversal. origin/direction [N,3], t_min [N].
+    Returns dict(t [+inf on miss], tri, u, v, front)."""
+    N = origin.shape[0]
+    n_pad = -(-N // _TILE) * _TILE
+    rows = n_pad // _LANES
+
+    def pack_rays(a3):
+        a = jnp.zeros((n_pad, 3), jnp.float32).at[:N].set(a3.astype(jnp.float32))
+        # [n_pad, 3] -> [3, rows, 128]
+        return jnp.transpose(a.reshape(rows, _LANES, 3), (2, 0, 1))
+
+    o_p = pack_rays(origin)
+    d_p = pack_rays(direction)
+    t_p = jnp.zeros((1, n_pad), jnp.float32).at[0, :N].set(
+        t_min.astype(jnp.float32)).reshape(1, rows, _LANES)
+
+    tables = mesh.packed
+    grid = n_pad // _TILE
+    rows_per_tile = _TILE // _LANES  # 8
+
+    ray_spec = pl.BlockSpec(
+        (3, rows_per_tile, _LANES), lambda i: (0, i, 0),
+        memory_space=pltpu.VMEM)
+    tmin_spec = pl.BlockSpec(
+        (1, rows_per_tile, _LANES), lambda i: (0, i, 0),
+        memory_space=pltpu.VMEM)
+    table_spec = pl.BlockSpec(memory_space=pltpu.VMEM)  # whole table
+    out_spec = pl.BlockSpec(
+        (rows_per_tile, _LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
+
+    kernel = functools.partial(_kernel, int(mesh.n_nodes), int(mesh.max_leaf))
+    outs = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[ray_spec, ray_spec, tmin_spec] + [table_spec] * 2,
+        out_specs=(out_spec, out_spec, out_spec, out_spec, out_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((rows, _LANES), jnp.float32),
+            jax.ShapeDtypeStruct((rows, _LANES), jnp.int32),
+            jax.ShapeDtypeStruct((rows, _LANES), jnp.float32),
+            jax.ShapeDtypeStruct((rows, _LANES), jnp.float32),
+            jax.ShapeDtypeStruct((rows, _LANES), jnp.int32),
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(o_p, d_p, t_p, *[tables[k] for k in TABLE_ORDER])
+
+    t, tri, u, v, front = (x.reshape(n_pad)[:N] for x in outs)
+    t = jnp.where(tri >= 0, t, jnp.inf)
+    return {"t": t, "tri": tri, "u": u, "v": v, "front": front > 0}
