@@ -196,11 +196,12 @@ def intersect_scene(scene: CompiledScene, origin, direction, t_min_scale=None):
             jnp.arange(l)[None, :, None], (N, l, _a.MAX_HITS)
         ).reshape(N, C)
         src_leaf = jnp.broadcast_to(ids[None, :, None], (N, l, _a.MAX_HITS)).reshape(N, C)
-        # sort candidates by t
-        order = jnp.argsort(t_flat, axis=-1)
-        t_sorted = jnp.take_along_axis(t_flat, order, axis=-1)
-        leaf_sorted = jnp.take_along_axis(src_leaf, order, axis=-1)
-        local_sorted = jnp.take_along_axis(local_leaf, order, axis=-1)
+        # sort candidates by t — multi-operand lax.sort carries the leaf ids
+        # through the sorting network (argsort + take_along_axis row gathers
+        # serialize on TPU)
+        t_sorted, leaf_sorted, local_sorted = jax.lax.sort(
+            (t_flat, src_leaf, local_leaf), dimension=-1, num_keys=1
+        )
         finite = jnp.isfinite(t_sorted) & (t_sorted > eps[:, None])
 
         # EXACT per-leaf inside state at every crossing via crossing parity:
@@ -235,10 +236,12 @@ def intersect_scene(scene: CompiledScene, origin, direction, t_min_scale=None):
         inside_a = inside_fn(leaf_after)
         boundary = finite & (inside_b != inside_a)
         t_valid = jnp.where(boundary, t_sorted, _INF)
-        best = jnp.argmin(t_valid, axis=-1)
-        bt = jnp.take_along_axis(t_valid, best[:, None], axis=-1)[:, 0]
-        bleaf = jnp.take_along_axis(leaf_sorted, best[:, None], axis=-1)[:, 0]
-        binside = jnp.take_along_axis(inside_b, best[:, None], axis=-1)[:, 0]
+        # first-minimum one-hot select (no row gathers)
+        bt = jnp.min(t_valid, axis=-1)
+        is_min = t_valid <= bt[:, None]
+        onehot = is_min & (jnp.cumsum(is_min, axis=-1) == 1)
+        bleaf = jnp.sum(jnp.where(onehot, leaf_sorted, 0), axis=-1)
+        binside = jnp.any(onehot & inside_b, axis=-1)
         t_entity = t_entity.at[:, e].set(bt)
         csg_t.append((e, bt, bleaf, binside))
 
