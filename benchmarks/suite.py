@@ -62,8 +62,8 @@ def bench_prism():
         pipelines=[rgb],
     )
     camera.pixel_samples = 32
-    camera.spectral_bins = 32
-    camera.spectral_rays = 8  # dispersion slicing
+    camera.spectral_bins = 16
+    camera.spectral_rays = 4  # dispersion slicing (4 slices keeps compile cost sane)
     camera.ray_importance_sampling = True
     camera.ray_important_path_weight = 0.75
     camera.ray_max_depth = 32

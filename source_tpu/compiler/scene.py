@@ -213,7 +213,10 @@ def compile_scene(world: World, spectral: SpectralConfig, dtype=jnp.float32) -> 
             local_prog = tuple(
                 (op, local[arg] if op == OP_LEAF else arg) for op, arg in prog
             )
-            csg_entities.append((e, leaf_ids, _program_to_closure(local_prog)))
+            # store the hashable PROGRAM, not a closure: csg_entities is a
+            # static jit field, and fresh closures hash by identity, which
+            # forced a full recompile on every observe() pass
+            csg_entities.append((e, leaf_ids, local_prog))
 
     # --- materials -----------------------------------------------------------------
     materials = []

@@ -29,7 +29,7 @@ import jax.numpy as jnp
 
 from ..core.math import batch as vmath
 from ..primitive import analytic as _a
-from ..compiler.scene import CompiledScene
+from ..compiler.scene import CompiledScene, _program_to_closure
 from .meshtrace import mesh_intersect
 
 __all__ = ["HitRecord", "intersect_scene", "leaf_candidates", "leaf_contains", "entity_contains", "T_EPS"]
@@ -99,9 +99,9 @@ def entity_contains(scene: CompiledScene, point):
         for e, leaf_idx in enumerate(scene.simple_leaf_of_entity):
             if leaf_idx >= 0:
                 out = out.at[..., e].set(lc[..., leaf_idx])
-        for e, leaf_ids, inside_fn in scene.csg_entities:
+        for e, leaf_ids, program in scene.csg_entities:
             gathered = lc[..., jnp.asarray(leaf_ids)]
-            out = out.at[..., e].set(inside_fn(gathered))
+            out = out.at[..., e].set(_program_to_closure(program)(gathered))
     # closed meshes: +z probe ray, nearest-hit face orientation
     # (mesh.pyx:805-831: inside iff the nearest surface seen is a backface)
     for e, slot in scene.mesh_entities:
@@ -185,7 +185,8 @@ def intersect_scene(scene: CompiledScene, origin, direction, t_min_scale=None):
 
     # per-ray bookkeeping for csg winners
     csg_t = []
-    for e, leaf_ids, inside_fn in scene.csg_entities:
+    for e, leaf_ids, program in scene.csg_entities:
+        inside_fn = _program_to_closure(program)
         ids = jnp.asarray(leaf_ids)
         tc = cand[:, ids, :]  # [N, l, K]
         l = len(leaf_ids)
