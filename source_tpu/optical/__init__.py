@@ -13,6 +13,8 @@ from .colour import (
     ciexyz_x, ciexyz_y, ciexyz_z, resample_ciexyz, spectrum_to_ciexyz,
     spectra_to_ciexyz, ciexyz_to_srgb, srgb_to_ciexyz, d65_white,
 )
+from .ray import Ray
+from .loggingray import LoggingRay
 
 __all__ = [
     "Vector3D", "Point3D", "Normal3D", "AffineMatrix3D", "translate",
@@ -23,4 +25,5 @@ __all__ = [
     "ciexyz_x", "ciexyz_y", "ciexyz_z", "resample_ciexyz",
     "spectrum_to_ciexyz", "spectra_to_ciexyz", "ciexyz_to_srgb",
     "srgb_to_ciexyz", "d65_white",
+    "Ray", "LoggingRay",
 ]

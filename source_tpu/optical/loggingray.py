@@ -13,8 +13,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..compiler.scene import SpectralConfig, compile_scene
-from ..tracer.wavefront import RayConfig, init_rays, trace_rays_logged
 
 __all__ = ["LoggingRay"]
 
@@ -44,6 +42,9 @@ class LoggingRay:
     def trace(self, world):
         """Trace through the world, recording the trajectory. Returns the
         per-bin spectrum of the traced path."""
+        from ..compiler.scene import SpectralConfig, compile_scene
+        from ..tracer.wavefront import RayConfig, init_rays, trace_rays_logged
+
         scene = compile_scene(
             world, SpectralConfig(self.min_wavelength, self.max_wavelength, self.bins)
         )

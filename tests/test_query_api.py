@@ -90,3 +90,28 @@ class TestUnits:
         # units.pyx:135 — radians IN, degrees OUT
         assert radian(math.pi) == pytest.approx(180.0)
         assert degree(180.0) == pytest.approx(math.pi)
+
+
+def test_optical_ray_sample_furnace():
+    """optical.Ray.sample in a unity furnace returns exactly 1.0 per bin
+    (reference optical/ray.pyx:459-504 sampling API)."""
+    import numpy as np
+
+    from source_tpu.core.scenegraph import World
+    from source_tpu.optical import Ray as OpticalRay
+    from source_tpu.optical.material import UnitySurfaceEmitter
+    from source_tpu.primitive import Sphere
+
+    w = World()
+    Sphere(radius=5.0, parent=w, material=UnitySurfaceEmitter())
+    ray = OpticalRay(origin=(0, 0, 0), direction=(0, 0, 1), bins=6,
+                     extinction_prob=0.0, max_depth=4)
+    spec = ray.sample(w, 64, seed=3)
+    assert spec.bins == 6
+    np.testing.assert_allclose(spec.samples, 1.0, atol=1e-5)
+    assert ray.ray_count >= 64
+    one = ray.trace(w, seed=4)
+    np.testing.assert_allclose(one.samples, 1.0, atol=1e-5)
+    # copy preserves the spectral configuration
+    r2 = ray.copy(origin=(1, 0, 0))
+    assert r2.bins == ray.bins and r2.max_depth == ray.max_depth
