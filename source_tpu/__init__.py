@@ -20,6 +20,10 @@ from .core import (  # noqa: F401
 from .compiler import CompiledScene, SpectralConfig, compile_scene  # noqa: F401
 from .tracer.wavefront import RayConfig, trace_rays, trace_rays_diff  # noqa: F401
 from .tracer.intersect import intersect_scene  # noqa: F401
+from .parallel import (  # noqa: F401
+    MulticoreEngine, RenderEngine, SerialEngine, ShardedEngine,
+)
+from .accel import Accelerator, BoundPrimitive, KDTree, Unaccelerated  # noqa: F401
 
 __all__ = [
     "AffineMatrix3D", "Node", "Normal3D", "Point2D", "Point3D", "Quaternion",
@@ -27,4 +31,6 @@ __all__ = [
     "rotate_vector", "rotate_x", "rotate_y", "rotate_z",
     "CompiledScene", "SpectralConfig", "compile_scene",
     "RayConfig", "trace_rays", "trace_rays_diff", "intersect_scene",
+    "RenderEngine", "SerialEngine", "MulticoreEngine", "ShardedEngine",
+    "Accelerator", "BoundPrimitive", "KDTree", "Unaccelerated",
 ]

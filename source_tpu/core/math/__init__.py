@@ -26,6 +26,7 @@ from .triangle import (
     point_inside_polygon, winding2d,
 )
 from .polygon import triangulate2d
+from .spatial import Item2D, Item3D, KDTree2D, KDTree3D
 from . import batch, random, interp, polyroots, triangle
 
 __all__ = [
@@ -47,5 +48,6 @@ __all__ = [
     "barycentric_coords_tetra", "barycentric_inside_tetrahedra",
     "barycentric_interpolation_tetra", "winding2d", "point_inside_polygon",
     "triangulate2d",
+    "Item2D", "Item3D", "KDTree2D", "KDTree3D",
     "batch", "random", "interp", "polyroots", "triangle",
 ]

@@ -365,6 +365,16 @@ class World(NodeBase):
         # Stays the OUTWARD surface normal regardless of `exiting`
         # (sphere.pyx:183-197 convention).
         local_normal = Normal3D(*normal).transform(p2w).normalise()
+        if getattr(prim, "is_mesh", False) and rec.tri is not None:
+            from ...primitive.mesh.mesh import MeshIntersection
+
+            u = float(rec.bary_u[0])
+            v = float(rec.bary_v[0])
+            return MeshIntersection(
+                ray, t, prim, hit_point, inside_point, outside_point,
+                local_normal, exiting, w2p, p2w,
+                triangle=int(rec.tri[0]), u=u, v=v, w=1.0 - u - v,
+            )
         return Intersection(
             ray, t, prim, hit_point, inside_point, outside_point,
             local_normal, exiting, w2p, p2w,

@@ -1,5 +1,6 @@
 from .base import (
     SpectralSlice, FrameSampler1D, FrameSampler2D, Pipeline,
+    Pipeline0D, Pipeline1D, Pipeline2D, PixelProcessor,
     Observer0D, Observer1D, Observer2D,
 )
 from .imaging import (
@@ -27,6 +28,7 @@ from . import cameras
 
 __all__ = [
     "SpectralSlice", "FrameSampler1D", "FrameSampler2D", "Pipeline",
+    "Pipeline0D", "Pipeline1D", "Pipeline2D", "PixelProcessor",
     "Observer0D", "Observer1D", "Observer2D",
     "PinholeCamera", "OrthographicCamera", "CCDArray", "VectorCamera",
     "OpenCVCamera", "TargetedCCDArray",

@@ -94,6 +94,34 @@ class Pipeline:
         pass
 
 
+class Pipeline0D(Pipeline):
+    """Pipeline for 0D observers (base/pipeline.pyx:37): single spectrum."""
+
+
+class Pipeline1D(Pipeline):
+    """Pipeline for 1D observers (base/pipeline.pyx:110): pixel line."""
+
+
+class Pipeline2D(Pipeline):
+    """Pipeline for 2D observers (base/pipeline.pyx:183): pixel grid."""
+
+
+class PixelProcessor:
+    """Per-task sample accumulator contract (base/processor.pyx:61-72).
+
+    The device path folds samples into per-tile Welford statistics on-chip
+    (ObserverBase kernels), so built-in pipelines never instantiate one;
+    the class is kept for custom pipelines written against the reference's
+    processor API: ``add_sample`` each spectrum, ``pack_results`` at task
+    end."""
+
+    def add_sample(self, spectrum, sensitivity):
+        raise NotImplementedError
+
+    def pack_results(self):
+        raise NotImplementedError
+
+
 def _slice_spectrum(min_wavelength, max_wavelength, bins, rays):
     """Reference slicing algorithm (base/observer.pyx:311-340)."""
     current = 0.0

@@ -16,7 +16,7 @@ import jax.numpy as jnp
 
 from ...core.math.statsarray import StatsArray1D, StatsArray2D, StatsArray3D, StatsBin
 from ..colour import resample_ciexyz, ciexyz_to_srgb
-from .base import Pipeline, SpectralSlice
+from .base import Pipeline, Pipeline0D, Pipeline1D, Pipeline2D, SpectralSlice
 
 __all__ = [
     "RGBPipeline2D",
@@ -120,7 +120,7 @@ class _FrameMixin:
             self._set_frame(frame, pixel_shape)
 
 
-class RGBPipeline2D(Pipeline, _FrameMixin):
+class RGBPipeline2D(Pipeline2D, _FrameMixin):
     """Spectrum -> CIE XYZ statistics frame with sRGB display/save
     (pipeline/rgb.pyx:48-533)."""
 
@@ -196,7 +196,7 @@ class RGBPipeline2D(Pipeline, _FrameMixin):
             pass
 
 
-class BayerPipeline2D(Pipeline, _FrameMixin):
+class BayerPipeline2D(Pipeline2D, _FrameMixin):
     """RGGB Bayer-mosaic pipeline (pipeline/bayer.pyx:49): one mono value per
     pixel, filtered by the mosaic pattern."""
 
@@ -323,16 +323,16 @@ class _MonoPipeline(Pipeline, _FrameMixin):
         _write_png(filename, np.transpose(img8, (1, 0))[..., None].repeat(3, axis=-1))
 
 
-class PowerPipeline0D(_MonoPipeline):
+class PowerPipeline0D(_MonoPipeline, Pipeline0D):
     """Total power W (mono/power.pyx:48)."""
     _default_name = "PowerPipeline0D"
 
 
-class PowerPipeline1D(_MonoPipeline):
+class PowerPipeline1D(_MonoPipeline, Pipeline1D):
     _default_name = "PowerPipeline1D"
 
 
-class PowerPipeline2D(_MonoPipeline):
+class PowerPipeline2D(_MonoPipeline, Pipeline2D):
     _default_name = "PowerPipeline2D"
 
     def __init__(self, filter=None, accumulate=True, display_unsaturated_fraction=1.0, name=None):
@@ -340,17 +340,17 @@ class PowerPipeline2D(_MonoPipeline):
         self.display_unsaturated_fraction = display_unsaturated_fraction
 
 
-class RadiancePipeline0D(_MonoPipeline):
+class RadiancePipeline0D(_MonoPipeline, Pipeline0D):
     """Mean radiance W/m2/sr (mono/radiance.pyx:40) — no sensitivity factor."""
     _apply_sensitivity = False
     _default_name = "RadiancePipeline0D"
 
 
-class RadiancePipeline1D(RadiancePipeline0D):
+class RadiancePipeline1D(RadiancePipeline0D, Pipeline1D):
     _default_name = "RadiancePipeline1D"
 
 
-class RadiancePipeline2D(RadiancePipeline0D):
+class RadiancePipeline2D(RadiancePipeline0D, Pipeline2D):
     _default_name = "RadiancePipeline2D"
 
     def __init__(self, filter=None, accumulate=True, display_unsaturated_fraction=1.0, name=None):
@@ -441,28 +441,28 @@ class _SpectralPipeline(Pipeline, _FrameMixin):
         return Spectrum(self.min_wavelength, self.max_wavelength, self._total_bins, samples)
 
 
-class SpectralPowerPipeline0D(_SpectralPipeline):
+class SpectralPowerPipeline0D(_SpectralPipeline, Pipeline0D):
     _default_name = "SpectralPowerPipeline0D"
 
 
-class SpectralPowerPipeline1D(_SpectralPipeline):
+class SpectralPowerPipeline1D(_SpectralPipeline, Pipeline1D):
     _default_name = "SpectralPowerPipeline1D"
 
 
-class SpectralPowerPipeline2D(_SpectralPipeline):
+class SpectralPowerPipeline2D(_SpectralPipeline, Pipeline2D):
     _default_name = "SpectralPowerPipeline2D"
 
 
-class SpectralRadiancePipeline0D(_SpectralPipeline):
+class SpectralRadiancePipeline0D(_SpectralPipeline, Pipeline0D):
     _apply_sensitivity = False
     _default_name = "SpectralRadiancePipeline0D"
 
 
-class SpectralRadiancePipeline1D(SpectralRadiancePipeline0D):
+class SpectralRadiancePipeline1D(SpectralRadiancePipeline0D, Pipeline1D):
     _default_name = "SpectralRadiancePipeline1D"
 
 
-class SpectralRadiancePipeline2D(SpectralRadiancePipeline0D):
+class SpectralRadiancePipeline2D(SpectralRadiancePipeline0D, Pipeline2D):
     _default_name = "SpectralRadiancePipeline2D"
 
 

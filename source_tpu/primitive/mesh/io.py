@@ -18,7 +18,17 @@ __all__ = [
     "import_stl", "export_stl",
     "import_ply", "export_ply",
     "import_vtk", "export_vtk",
+    "STL_ASCII", "STL_BINARY", "STL_AUTOMATIC",
+    "PLY_ASCII", "PLY_BINARY", "PLY_AUTOMATIC",
+    "VTK_ASCII", "VTK_BINARY", "VTK_AUTOMATIC",
 ]
+
+# Export mode constants (reference primitive/mesh/{stl,ply,vtk}.py module
+# globals). AUTOMATIC resolves from the target filename where the format
+# is ambiguous; the compact binary form is the default resolution.
+STL_ASCII = PLY_ASCII = VTK_ASCII = "ascii"
+STL_BINARY = PLY_BINARY = VTK_BINARY = "binary"
+STL_AUTOMATIC = PLY_AUTOMATIC = VTK_AUTOMATIC = "automatic"
 
 
 def _mesh_kwargs(kwargs):
@@ -215,7 +225,11 @@ def _mesh_from_soup(tri_pts, **kwargs):
     return Mesh(uniq.astype(np.float32), triangles, **_mesh_kwargs(kwargs))
 
 
-def export_stl(mesh, path, mode="binary"):
+def export_stl(mesh, path, mode=STL_AUTOMATIC):
+    if mode not in ("ascii", "binary", "automatic"):
+        raise ValueError(f"Unsupported STL export mode {mode!r}.")
+    if mode == "automatic":
+        mode = "binary"
     d = mesh.data
     v = d.vertices
     t = d.triangles
@@ -302,7 +316,11 @@ def import_ply(path, scaling=1.0, **kwargs):
     return Mesh(vertices, np.asarray(faces, np.int32), **_mesh_kwargs(kwargs))
 
 
-def export_ply(mesh, path, mode="ascii", comment="exported by source_tpu"):
+def export_ply(mesh, path, mode=PLY_AUTOMATIC, comment="exported by source_tpu"):
+    if mode not in ("ascii", "binary", "automatic"):
+        raise ValueError(f"Unsupported PLY export mode {mode!r}.")
+    if mode == "automatic":
+        mode = "binary"
     d = mesh.data
     with open(path, "wb") as f:
         hdr = (

@@ -57,6 +57,9 @@ class HitRecord:
     exiting: Any  # bool[N] ray was inside the solid (reference 'exiting')
     inside_point: Any  # f32[N,3] epsilon-displaced relaunch point inside
     outside_point: Any  # f32[N,3] epsilon-displaced relaunch point outside
+    tri: Any = None  # i32[N] winning triangle for mesh entities (-1 otherwise)
+    bary_u: Any = None  # f32[N] barycentric u of the mesh hit
+    bary_v: Any = None  # f32[N] barycentric v of the mesh hit
 
 
 def leaf_candidates(scene: CompiledScene, origin, direction):
@@ -297,6 +300,9 @@ def intersect_scene(scene: CompiledScene, origin, direction, t_min_scale=None):
 
     # mesh winners: smoothed (or face) normal, exiting from face orientation
     # (mesh.pyx:718-804 MeshIntersection semantics)
+    win_tri = jnp.full((N,), -1, jnp.int32)
+    win_u = jnp.zeros((N,), jnp.float32)
+    win_v = jnp.zeros((N,), jnp.float32)
     for e, slot, res in mesh_win:
         mesh = scene.meshes[slot]
         m = (entity == e) & hit
@@ -314,6 +320,9 @@ def intersect_scene(scene: CompiledScene, origin, direction, t_min_scale=None):
         n_w = vmath.normalise(vmath.transform_normal(mesh.w2l[None], n_loc))
         n_world = jnp.where(m[:, None], n_w, n_world)
         inside_before = jnp.where(m, ~res["front"], inside_before)
+        win_tri = jnp.where(m, res["tri"], win_tri)
+        win_u = jnp.where(m, res["u"], win_u)
+        win_v = jnp.where(m, res["v"], win_v)
 
     # orient normal to point away from the solid: when exiting the solid the
     # outward normal must align with the ray direction, when entering oppose
@@ -337,4 +346,7 @@ def intersect_scene(scene: CompiledScene, origin, direction, t_min_scale=None):
         exiting=inside_before,
         inside_point=inside_point,
         outside_point=outside_point,
+        tri=win_tri,
+        bary_u=win_u,
+        bary_v=win_v,
     )
