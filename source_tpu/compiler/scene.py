@@ -33,7 +33,14 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.scenegraph.node import World
-from ..optical.material.base import NPARAMS, NSCALARS, NSLOTS, VOL_NONE
+from ..optical.material.base import (
+    MAT_CONTINUOUS_BSDF,
+    MAT_DISCRETE_BSDF,
+    NPARAMS,
+    NSCALARS,
+    NSLOTS,
+    VOL_NONE,
+)
 from ..primitive import analytic as _a
 from ..primitive.shapes import OP_INTERSECT, OP_LEAF, OP_SUBTRACT, OP_UNION
 
@@ -87,6 +94,10 @@ class CompiledScene:
     volume_entities: Tuple = dataclasses.field(metadata=dict(static=True), default=())
     mesh_entities: Tuple = dataclasses.field(metadata=dict(static=True), default=())
     mix_remaps: Tuple = dataclasses.field(metadata=dict(static=True), default=())
+    # (mat_idx, material object) rows for user ContinuousBSDF/DiscreteBSDF
+    # subclasses — the objects are static scene structure; their methods are
+    # traced into the wavefront dispatch (material.pyx:205-390 extension point)
+    custom_materials: Tuple = dataclasses.field(metadata=dict(static=True), default=())
     has_roughen: bool = dataclasses.field(metadata=dict(static=True), default=False)
     has_importance: bool = dataclasses.field(metadata=dict(static=True), default=False)
     spectral: SpectralConfig = dataclasses.field(
@@ -269,6 +280,13 @@ def compile_scene(world: World, spectral: SpectralConfig, dtype=jnp.float32) -> 
             )
     mix_remaps.sort()  # ascending ids -> nested mixes resolve in one sweep
 
+    # user-extensible BSDFs: keep the material object as static structure so
+    # its traceable sample/pdf/bsdf methods compile into the dispatch
+    custom_materials = tuple(
+        (i, m) for i, m in enumerate(materials)
+        if m.MAT_TYPE in (MAT_CONTINUOUS_BSDF, MAT_DISCRETE_BSDF)
+    )
+
     # volume-active entities (static unrolled loop in the tracer); the
     # inhomogeneous kind carries its material object (emission closure +
     # integrator) and the entity's local frame source
@@ -339,6 +357,7 @@ def compile_scene(world: World, spectral: SpectralConfig, dtype=jnp.float32) -> 
         volume_entities=tuple(volume_entities),
         mesh_entities=tuple(mesh_entities),
         mix_remaps=tuple(mix_remaps),
+        custom_materials=custom_materials,
         has_roughen=bool(
             any(m.compile_params()[7] > 0.0 for m in materials)
         ),

@@ -1,5 +1,6 @@
 from .base import (
     Material, NullSurface, NullVolume, NullMaterial, AbsorbingSurface,
+    ContinuousBSDF, DiscreteBSDF,
 )
 from .lambert import Lambert
 from .conductor import Conductor, RoughConductor
@@ -15,7 +16,8 @@ from .debug import Light, PerfectReflectingSurface
 
 __all__ = [
     "Material", "NullSurface", "NullVolume", "NullMaterial",
-    "AbsorbingSurface", "Lambert", "Conductor", "RoughConductor",
+    "AbsorbingSurface", "ContinuousBSDF", "DiscreteBSDF",
+    "Lambert", "Conductor", "RoughConductor",
     "Sellmeier", "Dielectric", "UniformSurfaceEmitter",
     "UnitySurfaceEmitter", "AnisotropicSurfaceEmitter", "Checkerboard",
     "HomogeneousVolumeEmitter", "UniformVolumeEmitter", "UnityVolumeEmitter",

@@ -41,6 +41,10 @@ __all__ = [
     "MAT_CHECKERBOARD",
     "MAT_LIGHT",
     "MAT_PERFECT_REFLECT",
+    "MAT_CONTINUOUS_BSDF",
+    "MAT_DISCRETE_BSDF",
+    "ContinuousBSDF",
+    "DiscreteBSDF",
     "ROUGHEN_SLOT",
     "NPARAMS",
     "NSLOTS",
@@ -62,6 +66,8 @@ MAT_EMITTER_ANISO = 7
 MAT_CHECKERBOARD = 8
 MAT_LIGHT = 9
 MAT_PERFECT_REFLECT = 10
+MAT_CONTINUOUS_BSDF = 11  # user subclass of ContinuousBSDF
+MAT_DISCRETE_BSDF = 12  # user subclass of DiscreteBSDF
 
 NPARAMS = 8
 NSLOTS = 4
@@ -149,3 +155,73 @@ class NullMaterial(NullSurface):
     """Completely transparent material (material.pyx:196)."""
 
     MAT_TYPE = MAT_NULL
+
+
+class ContinuousBSDF(Material):
+    """User-extensible continuous BSDF (material.pyx:269-390).
+
+    The reference exposes ``ContinuousBSDF`` as the extension point for
+    materials with a full hemispheric response: subclasses supply
+    ``sample``/``pdf``/``bsdf`` and the framework applies one-sample MIS
+    between the BSDF proposal and the scene's important emitters
+    (material.pyx:327-352). Here the same contract is *batched and
+    JAX-traceable*: the wavefront kernel calls these methods on the full
+    lane batch inside ``jit``, in the surface shading frame (+z = shading
+    normal facing the incident ray; the incident direction ``w_in`` points
+    AWAY from the surface, so ``w_in[:, 2] > 0``).
+
+    Subclasses implement (all arguments/results jnp arrays):
+
+      sample(w_in, u1, u2, spectra, params) -> w_out  f32[N, 3] local frame
+          importance-sample an outgoing direction from uniforms u1, u2.
+      pdf(w_in, w_out, spectra, params) -> f32[N]
+          solid-angle pdf of ``sample`` producing ``w_out``.
+      bsdf(w_in, w_out, wavelengths, spectra, params) -> f32[N, B]
+          spectral BSDF value (1/sr) at the render's bin-centre wavelengths.
+
+    ``spectra`` is f32[N, NSLOTS, B] (this material's compiled spectral
+    slots, lane-gathered so gradients flow to the scene pytree) and
+    ``params`` is f32[N, NPARAMS] from :meth:`compile_params`.
+
+    The kernel weights the traced continuation by
+    ``bsdf * cos_out / (w * pdf_light + (1 - w) * pdf_bsdf)`` — the
+    reference's one-sample MIS estimator — and kills lanes whose combined
+    pdf or cos_out is non-positive.
+    """
+
+    MAT_TYPE = MAT_CONTINUOUS_BSDF
+
+    def sample(self, w_in, u1, u2, spectra, params):
+        raise NotImplementedError("ContinuousBSDF subclasses must implement sample().")
+
+    def pdf(self, w_in, w_out, spectra, params):
+        raise NotImplementedError("ContinuousBSDF subclasses must implement pdf().")
+
+    def bsdf(self, w_in, w_out, wavelengths, spectra, params):
+        raise NotImplementedError("ContinuousBSDF subclasses must implement bsdf().")
+
+
+class DiscreteBSDF(Material):
+    """User-extensible delta BSDF (material.pyx:205-268).
+
+    The reference's ``DiscreteBSDF`` is the extension point for materials
+    whose response is a set of delta functions (mirrors, ideal refractors):
+    ``evaluate_shading`` picks the outgoing path itself. Batched contract,
+    evaluated inside ``jit`` in the surface shading frame (+z = shading
+    normal facing the incident ray, ``w_in`` points away from the surface):
+
+      evaluate_shading(w_in, u, wavelengths, spectra, params) ->
+          (w_out f32[N, 3] local, weight f32[N, B], transmitted bool[N])
+
+    ``u`` is f32[N, 2] fresh uniforms for path roulette. ``weight``
+    multiplies the path throughput; lanes continue while any bin of the
+    weight is positive. ``transmitted`` lanes re-launch on the far side of
+    the surface (refraction); others on the incident side (reflection).
+    """
+
+    MAT_TYPE = MAT_DISCRETE_BSDF
+
+    def evaluate_shading(self, w_in, u, wavelengths, spectra, params):
+        raise NotImplementedError(
+            "DiscreteBSDF subclasses must implement evaluate_shading()."
+        )

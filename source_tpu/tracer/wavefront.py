@@ -32,6 +32,7 @@ from ..optical.material.base import (
     MAT_CHECKERBOARD,
     MAT_CONDUCTOR,
     MAT_DIELECTRIC,
+    MAT_DISCRETE_BSDF,
     MAT_EMITTER,
     MAT_EMITTER_ANISO,
     MAT_LAMBERT,
@@ -399,6 +400,57 @@ def _surface_interaction(scene: CompiledScene, cfg: RayConfig, state: RayState,
         new_direction = jnp.where(m[:, None], out_dir, new_direction)
         new_origin = jnp.where(m[:, None], origin_sel, new_origin)
         continues = continues | ok
+
+    # --- user-extensible BSDFs (material.pyx:205-390 extension point) ------------
+    if scene.custom_materials:
+        sp = scene.spectral
+        lam = sp.min_wavelength + (
+            jnp.arange(B, dtype=dtype) + 0.5
+        ) * sp.delta_wavelength
+        w_in = vmath.to_frame(-d, t_f, b_f, n_f)  # points away from surface
+        for cid, mat_obj in scene.custom_materials:
+            m = mat_id == cid
+            if mat_obj.MAT_TYPE == MAT_DISCRETE_BSDF:
+                wo_local, weight, transmitted = mat_obj.evaluate_shading(
+                    w_in, u[:, 1:3], lam, spectra, params
+                )
+                wo = vmath.from_frame(wo_local, t_f, b_f, n_f)
+                ok = m & (jnp.max(weight, axis=-1) > 0.0)
+                thr_mul = jnp.where(m[:, None], weight, thr_mul)
+                new_direction = jnp.where(m[:, None], wo, new_direction)
+                new_origin = jnp.where(
+                    m[:, None],
+                    jnp.where(transmitted[:, None], trans_origin, refl_origin),
+                    new_origin,
+                )
+                continues = continues | ok
+            else:  # ContinuousBSDF: one-sample MIS (material.pyx:327-352)
+                wo_bsdf_local = mat_obj.sample(w_in, u[:, 1], u[:, 2], spectra, params)
+                use_mis = cfg.importance_sampling and scene.has_importance
+                if use_mis:
+                    w_imp = cfg.important_path_weight
+                    pick_light = u[:, 0] < w_imp
+                    dir_light = important_direction_sample(scene, rec.point, u[:, 3:6])
+                    light_local = vmath.to_frame(dir_light, t_f, b_f, n_f)
+                    wo_local = jnp.where(
+                        pick_light[:, None], light_local, wo_bsdf_local
+                    )
+                    wo = vmath.from_frame(wo_local, t_f, b_f, n_f)
+                    pdf_light = important_direction_pdf(scene, rec.point, wo)
+                    pdf_bsdf = mat_obj.pdf(w_in, wo_local, spectra, params)
+                    pdf = w_imp * pdf_light + (1.0 - w_imp) * pdf_bsdf
+                else:
+                    wo_local = wo_bsdf_local
+                    wo = vmath.from_frame(wo_local, t_f, b_f, n_f)
+                    pdf = mat_obj.pdf(w_in, wo_local, spectra, params)
+                cos_out = wo_local[:, 2]
+                f = mat_obj.bsdf(w_in, wo_local, lam, spectra, params)
+                ok = m & (pdf > 1e-9) & (cos_out > 0.0)
+                w_c = jnp.where(ok, cos_out / jnp.maximum(pdf, 1e-12), 0.0)
+                thr_mul = jnp.where(m[:, None], f * w_c[:, None], thr_mul)
+                new_direction = jnp.where(m[:, None], wo, new_direction)
+                new_origin = jnp.where(m[:, None], refl_origin, new_origin)
+                continues = continues | ok
 
     # absorbers fall through: continues stays False, thr_mul 0
     # Add-modifier one-sample compensation applies to the whole response
