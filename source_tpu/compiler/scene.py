@@ -81,6 +81,11 @@ class CompiledScene:
     imp_radius: Any  # f32[I]
     imp_weight: Any  # f32[I] normalised weights
     imp_cdf: Any  # f32[I]
+    # spectral grid: bin-centre wavelengths (nm). TRACED data, so spectral
+    # slices differing only in wavelength range share one compiled kernel
+    # (the reference re-runs the render engine per slice,
+    # base/observer.pyx:298-305; here slices reuse the same XLA program)
+    wavelengths: Any = None  # f32[B]
     # triangle meshes (tuple of MeshTables pytrees, one per mesh entity)
     meshes: Any = ()
 
@@ -100,13 +105,12 @@ class CompiledScene:
     custom_materials: Tuple = dataclasses.field(metadata=dict(static=True), default=())
     has_roughen: bool = dataclasses.field(metadata=dict(static=True), default=False)
     has_importance: bool = dataclasses.field(metadata=dict(static=True), default=False)
-    spectral: SpectralConfig = dataclasses.field(
-        metadata=dict(static=True), default=SpectralConfig(375.0, 740.0, 15)
-    )
+    # bin COUNT stays static (array shapes); the wavelength range is traced
+    n_bins: int = dataclasses.field(metadata=dict(static=True), default=15)
 
     @property
     def bins(self):
-        return self.spectral.bins
+        return self.n_bins
 
 
 def _program_to_closure(program):
@@ -347,6 +351,11 @@ def compile_scene(world: World, spectral: SpectralConfig, dtype=jnp.float32) -> 
         imp_radius=jnp.asarray(imp_radius, dtype),
         imp_weight=jnp.asarray(w, dtype),
         imp_cdf=jnp.asarray(imp_cdf, dtype),
+        wavelengths=jnp.asarray(
+            spectral.min_wavelength
+            + (np.arange(B) + 0.5) * spectral.delta_wavelength,
+            dtype,
+        ),
         meshes=tuple(mesh_tables),
         type_slices=tuple(type_slices),
         n_leaves=n_leaves,
@@ -362,5 +371,5 @@ def compile_scene(world: World, spectral: SpectralConfig, dtype=jnp.float32) -> 
             any(m.compile_params()[7] > 0.0 for m in materials)
         ),
         has_importance=has_importance,
-        spectral=spectral,
+        n_bins=B,
     )

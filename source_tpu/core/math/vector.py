@@ -82,11 +82,13 @@ class _Vec3:
 
 
 class Vector3D(_Vec3):
-    """A 3D vector with the reference Vector3D's full API (vector.pyx:40)."""
+    """A 3D vector with the reference Vector3D's full API (vector.pyx:40).
+
+    Default-constructs to the z unit vector (vector.pyx:65)."""
 
     __slots__ = ()
 
-    def __init__(self, x=0.0, y=0.0, z=0.0):
+    def __init__(self, x=0.0, y=0.0, z=1.0):
         super().__init__(x, y, z)
 
     def __neg__(self):
@@ -281,11 +283,12 @@ class Point3D(_Vec3):
 
 
 class Vector2D:
-    """A 2D vector (vector.pyx:607)."""
+    """A 2D vector (vector.pyx:607). Default-constructs to the x unit
+    vector (vector.pyx:630)."""
 
     __slots__ = ("x", "y")
 
-    def __init__(self, x=0.0, y=0.0):
+    def __init__(self, x=1.0, y=0.0):
         self.x = float(x)
         self.y = float(y)
 

@@ -206,6 +206,7 @@ class Primitive(NodeBase):
     def notify_geometry_change(self):
         """Signal the root that this primitive's geometry changed
         (primitive.pyx:201)."""
+        self._pq_cache = None
         self._root._change(self, GEOMETRY)
 
     def notify_material_change(self):
@@ -244,6 +245,84 @@ class Primitive(NodeBase):
         from ..math.vector import Point3D
 
         return Point3D(*centre), radius
+
+    # --- direct geometry queries (primitive.pyx:115-223) ---------------------------
+
+    def _query_world(self):
+        """Single-primitive World backing hit/contains/next_intersection.
+
+        An instance of this primitive (shared geometry) is parented to a
+        private World at this primitive's root transform and the compiled
+        batch kernels answer the query. Cache keys on the root transform;
+        geometry mutations clear it via notify_geometry_change."""
+        import numpy as np
+
+        key = np.asarray(self.to_root().to_array(np.float64)).tobytes()
+        cached = getattr(self, "_pq_cache", None)
+        if cached is not None and cached[0] == key:
+            return cached[1]
+        from ...optical.material.base import AbsorbingSurface
+
+        world = World()
+        self.instance(parent=world, transform=self.to_root(),
+                      material=AbsorbingSurface())
+        self._pq_cache = (key, world)
+        return world
+
+    def hit(self, ray):
+        """Closest intersection of ``ray`` with this primitive alone, or
+        None (primitive.pyx:115-140). Enables the ``next_intersection``
+        cursor."""
+        world = self._query_world()
+        intersection = world.hit(ray)
+        self._next_cursor = None
+        if intersection is None:
+            return None
+        intersection.primitive = self
+        self._next_cursor = (ray, intersection.ray_distance)
+        return intersection
+
+    def next_intersection(self):
+        """The next intersection along the ray supplied to the last
+        ``hit`` call, or None when the ray has fully traversed this
+        primitive (primitive.pyx:142-168). Successive calls enumerate
+        successive surface crossings (used by CSG-style algorithms)."""
+        cursor = getattr(self, "_next_cursor", None)
+        if cursor is None:
+            raise RuntimeError(
+                "next_intersection() may only be called after a successful "
+                "hit() on this primitive."
+            )
+        ray, t_prev = cursor
+        # relaunch a copy of the ray just past the previous crossing
+        import numpy as np
+
+        from ..math.vector import Point3D, Vector3D
+
+        o = np.asarray([ray.origin.x, ray.origin.y, ray.origin.z], np.float64)
+        d = np.asarray(
+            [ray.direction.x, ray.direction.y, ray.direction.z], np.float64
+        )
+        eps = 1e-4 * max(1.0, abs(t_prev))
+        o2 = o + (t_prev + eps) * d
+        relaunch = ray.copy(origin=Point3D(*o2), direction=Vector3D(*d))
+        world = self._query_world()
+        intersection = world.hit(relaunch)
+        if intersection is None:
+            self._next_cursor = None
+            return None
+        intersection.primitive = self
+        t_total = t_prev + eps + intersection.ray_distance
+        intersection.ray = ray
+        intersection.ray_distance = t_total
+        self._next_cursor = (ray, t_total)
+        return intersection
+
+    def contains(self, point):
+        """True when ``point`` lies inside this primitive
+        (primitive.pyx:170-180)."""
+        world = self._query_world()
+        return len(world.contains(point)) > 0
 
 
 class Observer(NodeBase):

@@ -172,32 +172,43 @@ class ContinuousBSDF(Material):
 
     Subclasses implement (all arguments/results jnp arrays):
 
-      sample(w_in, u1, u2, spectra, params) -> w_out  f32[N, 3] local frame
+      sample(w_in, u1, u2, spectra, params, back_face) -> w_out  f32[N, 3]
           importance-sample an outgoing direction from uniforms u1, u2.
-      pdf(w_in, w_out, spectra, params) -> f32[N]
+      pdf(w_in, w_out, spectra, params, back_face) -> f32[N]
           solid-angle pdf of ``sample`` producing ``w_out``.
-      bsdf(w_in, w_out, wavelengths, spectra, params) -> f32[N, B]
+      bsdf(w_in, w_out, wavelengths, spectra, params, back_face) -> f32[N, B]
           spectral BSDF value (1/sr) at the render's bin-centre wavelengths.
 
     ``spectra`` is f32[N, NSLOTS, B] (this material's compiled spectral
     slots, lane-gathered so gradients flow to the scene pytree) and
     ``params`` is f32[N, NPARAMS] from :meth:`compile_params`.
+    ``back_face`` is bool[N], True where the ray is incident on the back
+    side of the primitive surface (the reference's exiting/back_face flag,
+    material.pyx:284-318) — materials that shade differently per side
+    branch on it with ``jnp.where``.
 
     The kernel weights the traced continuation by
-    ``bsdf * cos_out / (w * pdf_light + (1 - w) * pdf_bsdf)`` — the
+    ``bsdf * |cos_out| / (w * pdf_light + (1 - w) * pdf_bsdf)`` — the
     reference's one-sample MIS estimator — and kills lanes whose combined
-    pdf or cos_out is non-positive.
+    pdf or cos_out is zero. Transmissive responses are supported: lanes
+    whose sampled ``w_out`` lies below the surface (``w_out[:, 2] < 0``)
+    relaunch on the far side of the surface, mirroring the reference's
+    ``w_transmission_origin`` (material.pyx:286-361).
+
+    NOTE: the compiled scene keys on material object *identity* — reuse the
+    same material instance across ``observe()`` passes; constructing a new
+    (structurally identical) instance each pass forces a full recompile.
     """
 
     MAT_TYPE = MAT_CONTINUOUS_BSDF
 
-    def sample(self, w_in, u1, u2, spectra, params):
+    def sample(self, w_in, u1, u2, spectra, params, back_face):
         raise NotImplementedError("ContinuousBSDF subclasses must implement sample().")
 
-    def pdf(self, w_in, w_out, spectra, params):
+    def pdf(self, w_in, w_out, spectra, params, back_face):
         raise NotImplementedError("ContinuousBSDF subclasses must implement pdf().")
 
-    def bsdf(self, w_in, w_out, wavelengths, spectra, params):
+    def bsdf(self, w_in, w_out, wavelengths, spectra, params, back_face):
         raise NotImplementedError("ContinuousBSDF subclasses must implement bsdf().")
 
 
@@ -210,18 +221,24 @@ class DiscreteBSDF(Material):
     evaluated inside ``jit`` in the surface shading frame (+z = shading
     normal facing the incident ray, ``w_in`` points away from the surface):
 
-      evaluate_shading(w_in, u, wavelengths, spectra, params) ->
+      evaluate_shading(w_in, u, wavelengths, spectra, params, back_face) ->
           (w_out f32[N, 3] local, weight f32[N, B], transmitted bool[N])
 
     ``u`` is f32[N, 2] fresh uniforms for path roulette. ``weight``
     multiplies the path throughput; lanes continue while any bin of the
     weight is positive. ``transmitted`` lanes re-launch on the far side of
     the surface (refraction); others on the incident side (reflection).
+    ``back_face`` is bool[N], True where the ray is incident on the back
+    side of the primitive surface (material.pyx:220-268 passes the same
+    flag to DiscreteBSDF.evaluate_shading).
+
+    NOTE: reuse material instances across passes — the compiled scene keys
+    on object identity and a fresh instance forces a recompile.
     """
 
     MAT_TYPE = MAT_DISCRETE_BSDF
 
-    def evaluate_shading(self, w_in, u, wavelengths, spectra, params):
+    def evaluate_shading(self, w_in, u, wavelengths, spectra, params, back_face):
         raise NotImplementedError(
             "DiscreteBSDF subclasses must implement evaluate_shading()."
         )

@@ -69,8 +69,11 @@ class FrameSampler2D:
 class Pipeline:
     """Pipeline contract (base/pipeline.pyx:37-254), TPU formulation.
 
-    Device side: ``project(spectra, slice, sensitivity)`` maps per-sample
-    spectra [T, S, slice.bins] -> channel values [T, S, C].
+    Device side: ``project(spectra, consts, sensitivity)`` maps per-sample
+    spectra [T, S, slice.bins] -> channel values [T, S, C]. ``consts`` is
+    the pytree returned by ``projection_constants(slice_)`` — the per-slice
+    values (resampled CIE/filter tables, slice offset) enter the kernel as
+    TRACED arguments so every spectral slice shares one compiled kernel.
     Host side: ``initialise/update/finalise`` manage the StatsArray frames.
     """
 
@@ -79,7 +82,11 @@ class Pipeline:
     def n_channels(self, total_bins):
         raise NotImplementedError
 
-    def project(self, spectra, slice_: SpectralSlice, sensitivity, px=None, py=None):
+    def projection_constants(self, slice_: SpectralSlice):
+        """Per-slice traced constants consumed by ``project``."""
+        return ()
+
+    def project(self, spectra, consts, sensitivity, px=None, py=None):
         raise NotImplementedError
 
     def initialise(self, shape, spectral_config, slices, quiet=False):
@@ -403,10 +410,17 @@ class ObserverBase(_SceneObserver):
     def _render_tile(self, scene, cfg, slice_, px, py, sensitivity, cam_to_world,
                      spp, key):
         """Trace one pixel tile for one spectral slice; returns per-pipeline
-        per-sample projections and the traced segment count."""
-        projections = tuple(self.pipelines)
+        per-sample projections and the traced segment count.
 
-        def kernel(scene, px, py, sensitivity, cam_to_world, key):
+        Spectral slices SHARE one compiled kernel: the slice's wavelength
+        range rides in as traced data (scene.wavelengths, the pipelines'
+        projection_constants), so a 32-spectral-ray dispersion render costs
+        at most two compiles (slices can differ by one bin), not 32
+        (reference semantics base/observer.pyx:311-340 with XLA reuse)."""
+        projections = tuple(self.pipelines)
+        bins = slice_.bins
+
+        def kernel(scene, px, py, sensitivity, cam_to_world, key, consts):
             T = px.shape[0]
             u = jax.random.uniform(key, (T, spp, self._rays_per_sample))
             o_loc, d_loc, w = self._generate_rays_device(
@@ -414,21 +428,18 @@ class ObserverBase(_SceneObserver):
             )
             o = vmath.transform_point(cam_to_world, o_loc.reshape(-1, 3))
             d = vmath.normalise(vmath.transform_vector(cam_to_world, d_loc.reshape(-1, 3)))
-            state = init_rays(o, d, slice_.bins, weight=w.reshape(-1))
+            state = init_rays(o, d, bins, weight=w.reshape(-1))
             final = trace_rays(scene, cfg, state, jax.random.fold_in(key, 7))
-            spectra = final.radiance.reshape(T, spp, slice_.bins)
+            spectra = final.radiance.reshape(T, spp, bins)
             outs = tuple(
-                pipe.project(spectra, slice_, sensitivity, px, py)
-                for pipe in projections
+                pipe.project(spectra, c, sensitivity, px, py)
+                for pipe, c in zip(projections, consts)
             )
             return outs, final.segments
 
         if not hasattr(self, "_kernel_cache"):
             self._kernel_cache = {}
-        # the slice's offset/range are baked into the kernel closure (the
-        # projection zero-fills at slice_.offset), so they MUST key the cache
-        cache_key = (id(type(self)), slice_.bins, slice_.offset,
-                     slice_.min_wavelength, slice_.max_wavelength, spp, cfg,
+        cache_key = (id(type(self)), bins, self._spectral_bins, spp, cfg,
                      tuple(id(p) for p in self.pipelines),
                      self._kernel_cache_extra())
         fn = self._kernel_cache.get(cache_key)
@@ -445,12 +456,13 @@ class ObserverBase(_SceneObserver):
                 repl = NamedSharding(engine.mesh, P())
                 fn = jax.jit(
                     kernel,
-                    in_shardings=(None, tile, tile, tile, repl, repl),
+                    in_shardings=(None, tile, tile, tile, repl, repl, repl),
                 )
             else:
                 fn = jax.jit(kernel)
             self._kernel_cache[cache_key] = fn
-        return fn(scene, px, py, sensitivity, cam_to_world, key)
+        consts = tuple(pipe.projection_constants(slice_) for pipe in projections)
+        return fn(scene, px, py, sensitivity, cam_to_world, key, consts)
 
     # --- pipeline + statistics plumbing ------------------------------------------------
 

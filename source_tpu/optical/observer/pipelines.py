@@ -135,14 +135,18 @@ class RGBPipeline2D(Pipeline2D, _FrameMixin):
     def n_channels(self, total_bins):
         return 3
 
-    def project(self, spectra, slice_: SpectralSlice, sensitivity, px=None, py=None):
+    def projection_constants(self, slice_):
         cie = resample_ciexyz(slice_.min_wavelength, slice_.max_wavelength, slice_.bins)
         delta = (slice_.max_wavelength - slice_.min_wavelength) / slice_.bins
+        return {"cie": jnp.asarray(cie, jnp.float32), "delta": jnp.float32(delta)}
+
+    def project(self, spectra, consts, sensitivity, px=None, py=None):
         # [T,S,B] x [B,3] MXU contraction; highest precision (bf16 default
         # would corrupt radiometry)
         xyz = jnp.einsum(
-            "tsb,bc->tsc", spectra, cie.astype(spectra.dtype), precision="highest"
-        ) * delta
+            "tsb,bc->tsc", spectra, consts["cie"].astype(spectra.dtype),
+            precision="highest",
+        ) * consts["delta"]
         return xyz * sensitivity[:, None, None]
 
     def initialise(self, shape, spectral_config, slices, quiet=False):
@@ -214,18 +218,19 @@ class BayerPipeline2D(Pipeline2D, _FrameMixin):
     def n_channels(self, total_bins):
         return 1
 
-    def project(self, spectra, slice_: SpectralSlice, sensitivity, px=None, py=None):
+    def projection_constants(self, slice_):
         delta = (slice_.max_wavelength - slice_.min_wavelength) / slice_.bins
-        filt = jnp.stack(
+        filt = np.stack(
             [
-                jnp.asarray(
-                    f.sample(slice_.min_wavelength, slice_.max_wavelength, slice_.bins),
-                    spectra.dtype,
-                )
+                f.sample(slice_.min_wavelength, slice_.max_wavelength, slice_.bins)
                 for f in self.filters
             ]
         )  # [3, B]
-        vals = jnp.einsum("tsb,cb->tsc", spectra, filt) * delta  # [T,S,3]
+        return {"filt": jnp.asarray(filt, jnp.float32), "delta": jnp.float32(delta)}
+
+    def project(self, spectra, consts, sensitivity, px=None, py=None):
+        filt = consts["filt"].astype(spectra.dtype)
+        vals = jnp.einsum("tsb,cb->tsc", spectra, filt) * consts["delta"]  # [T,S,3]
         if px is None:
             mono = vals[..., 1:2]
         else:
@@ -277,19 +282,24 @@ class _MonoPipeline(Pipeline, _FrameMixin):
     def n_channels(self, total_bins):
         return 1
 
-    def project(self, spectra, slice_: SpectralSlice, sensitivity, px=None, py=None):
+    def projection_constants(self, slice_):
         delta = (slice_.max_wavelength - slice_.min_wavelength) / slice_.bins
+        consts = {"delta": jnp.float32(delta)}
         if self.filter is not None:
-            f = jnp.asarray(
+            consts["filt"] = jnp.asarray(
                 self.filter.sample(
                     slice_.min_wavelength, slice_.max_wavelength, slice_.bins
                 ),
-                spectra.dtype,
+                jnp.float32,
             )
-            weighted = spectra * f[None, None, :]
+        return consts
+
+    def project(self, spectra, consts, sensitivity, px=None, py=None):
+        if "filt" in consts:
+            weighted = spectra * consts["filt"].astype(spectra.dtype)[None, None, :]
         else:
             weighted = spectra
-        total = jnp.sum(weighted, axis=-1, keepdims=True) * delta  # [T,S,1]
+        total = jnp.sum(weighted, axis=-1, keepdims=True) * consts["delta"]  # [T,S,1]
         if self._apply_sensitivity:
             total = total * sensitivity[:, None, None]
         return total
@@ -377,16 +387,23 @@ class _SpectralPipeline(Pipeline, _FrameMixin):
     def n_channels(self, total_bins):
         return total_bins
 
-    def project(self, spectra, slice_: SpectralSlice, sensitivity, px=None, py=None):
-        delta = (slice_.max_wavelength - slice_.min_wavelength) / slice_.bins
+    def projection_constants(self, slice_):
+        # the offset is TRACED so slices share one compiled kernel; the
+        # total bin count is static shape information (self._total_bins,
+        # set by initialise and part of the observer's kernel cache key)
+        return {"offset": jnp.int32(slice_.offset)}
+
+    def project(self, spectra, consts, sensitivity, px=None, py=None):
+        import jax.lax as lax
+
         vals = spectra
         if self._apply_sensitivity:
             vals = vals * sensitivity[:, None, None]
         # zero-fill into the full spectral channel range at the slice offset
         T, S = vals.shape[0], vals.shape[1]
-        out = jnp.zeros((T, S, slice_.total_bins), vals.dtype)
-        out = out.at[..., slice_.offset:slice_.offset + slice_.bins].set(vals)
-        return out
+        out = jnp.zeros((T, S, self._total_bins), vals.dtype)
+        zero = jnp.int32(0)
+        return lax.dynamic_update_slice(out, vals, (zero, zero, consts["offset"]))
 
     def initialise(self, shape, spectral_config, slices, quiet=False):
         bins = spectral_config.bins

@@ -49,7 +49,9 @@ class Ray:
         self.min_wavelength = float(min_wavelength)
         self.max_wavelength = float(max_wavelength)
         self.bins = int(bins)
-        self.max_distance = max_distance  # API parity; wavefront paths are unbounded
+        self.max_distance = (
+            float("inf") if max_distance is None else float(max_distance)
+        )
         self.extinction_prob = float(extinction_prob)
         self.extinction_min_depth = int(extinction_min_depth)
         self.max_depth = int(max_depth)
@@ -67,6 +69,7 @@ class Ray:
             importance_sampling=self.importance_sampling,
             important_path_weight=self.important_path_weight,
             max_iters=max_iters if max_iters is not None else min(self.max_depth + 8, 256),
+            max_distance=self.max_distance,
         )
 
     def new_spectrum(self):

@@ -64,6 +64,9 @@ class RayConfig:
     importance_sampling: bool = True
     important_path_weight: float = 0.25
     max_iters: int = 256  # wavefront loop bound (null hops excluded from depth)
+    # per-segment hit-distance bound (core/ray.pyx:38 Ray.max_distance;
+    # daughters inherit it, optical/ray.pyx:528)
+    max_distance: float = float("inf")
     # differentiable-scan stream compaction: ((steps, shrink_divisor), ...)
     # — after `steps` bounces, sort alive-first and keep N/divisor lanes.
     # Empty = off (required under a sharded batch axis).
@@ -161,23 +164,29 @@ def _conductor_fresnel(ci, n, k):
 
 
 def _ggx_sample(u1, u2, rough):
-    """Sample a GGX half-vector in the +z frame."""
+    """Sample a GGX half-vector in the +z frame.
+
+    The reference parameterises GGX with alpha = roughness
+    (conductor.pyx:229-236: theta = atan(roughness*sqrt(e1)/sqrt(1-e1))),
+    NOT the Disney alpha = roughness^2 remap."""
     a2 = rough * rough
     phi = 2.0 * _PI * u2
-    ct2 = jnp.clip((1.0 - u1) / jnp.maximum(1.0 + (a2 * a2 - 1.0) * u1, 1e-12), 0.0, 1.0)
+    ct2 = jnp.clip((1.0 - u1) / jnp.maximum(1.0 + (a2 - 1.0) * u1, 1e-12), 0.0, 1.0)
     ct = jnp.sqrt(ct2 + 1e-12)
     st = jnp.sqrt(jnp.clip(1.0 - ct2, 1e-12, 1.0))
     return jnp.stack([st * jnp.cos(phi), st * jnp.sin(phi), ct], axis=-1)
 
 
 def _ggx_d(ct_h, rough):
-    a2 = (rough * rough) ** 2
+    """GGX normal distribution with alpha = roughness (conductor.pyx:288-296)."""
+    a2 = rough * rough
     d = ct_h * ct_h * (a2 - 1.0) + 1.0
     return a2 / jnp.maximum(_PI * d * d, 1e-12)
 
 
 def _smith_g1(ct, rough):
-    a2 = (rough * rough) ** 2
+    """Smith G1 with alpha = roughness (conductor.pyx:302-306)."""
+    a2 = rough * rough
     return 2.0 * ct / jnp.maximum(ct + jnp.sqrt(a2 + (1.0 - a2) * ct * ct), 1e-12)
 
 
@@ -340,22 +349,50 @@ def _surface_interaction(scene: CompiledScene, cfg: RayConfig, state: RayState,
         continues = continues | m
 
     # --- rough conductor: GGX + Smith + conducting Fresnel (conductor.pyx:159) ---
+    # RoughConductor is a ContinuousBSDF in the reference, so it carries the
+    # one-sample MIS branch (material.pyx:327-352): with prob w sample a
+    # light direction, else the GGX half-vector lobe; normalise by the
+    # mixture pdf. pdf_ggx = D(h)·|h.z| / (4·|wo.h|) (conductor.pyx:202-221).
     if MAT_ROUGH_CONDUCTOR in present:
         m = mat_types == MAT_ROUGH_CONDUCTOR
         rough = jnp.clip(params[:, 0], 1e-3, 1.0)
         h_local = _ggx_sample(u[:, 1], u[:, 2], rough)
-        h = vmath.from_frame(h_local, t_f, b_f, n_f)
+        h_bsdf = vmath.from_frame(h_local, t_f, b_f, n_f)
         wi = -d
-        wo = vmath.reflect(d, h)
+        wo_bsdf = vmath.reflect(d, h_bsdf)
+        use_mis = cfg.importance_sampling and scene.has_importance
+        if use_mis:
+            w_imp = cfg.important_path_weight
+            pick_light = u[:, 0] < w_imp
+            dir_light = important_direction_sample(scene, rec.point, u[:, 3:6])
+            wo = jnp.where(pick_light[:, None], dir_light, wo_bsdf)
+        else:
+            wo = wo_bsdf
+        # half-vector of the realised direction pair (conductor.pyx:205-215)
+        h_raw = wi + wo
+        h_len = jnp.sqrt(jnp.maximum(vmath.dot(h_raw, h_raw), 1e-24))
+        h = h_raw / h_len[:, None]
         ct_i = jnp.maximum(vmath.dot(wi, n_sh), 1e-6)
         ct_o = vmath.dot(wo, n_sh)
-        ct_h = jnp.maximum(h_local[:, 2], 1e-6)
-        i_dot_h = jnp.maximum(vmath.dot(wi, h), 1e-6)
-        ok = m & (ct_o > 1e-6)
-        f = _conductor_fresnel(i_dot_h[:, None], spectra[:, 0, :], spectra[:, 1, :])
+        ct_h = vmath.dot(h, n_sh)
+        o_dot_h = vmath.dot(wo, h)
+        d_ggx = _ggx_d(ct_h, rough)
+        pdf_bsdf = 0.25 * d_ggx * jnp.abs(
+            ct_h / jnp.where(jnp.abs(o_dot_h) > 1e-9, o_dot_h, 1e-9)
+        )
+        if use_mis:
+            pdf_light = important_direction_pdf(scene, rec.point, wo)
+            pdf = w_imp * pdf_light + (1.0 - w_imp) * pdf_bsdf
+        else:
+            pdf = pdf_bsdf
+        ok = m & (ct_o > 1e-6) & (pdf > 1e-9)
+        # Fresnel at the microfacet: ci = h.wo (conductor.pyx:324-331)
+        f = _conductor_fresnel(
+            jnp.abs(o_dot_h)[:, None], spectra[:, 0, :], spectra[:, 1, :]
+        )
         g = _smith_g1(ct_i, rough) * _smith_g1(jnp.maximum(ct_o, 1e-6), rough)
-        # weight for half-vector sampling: F * G * i.h / (cos_i * cos_h)
-        w_spec = jnp.where(ok, g * i_dot_h / (ct_i * ct_h), 0.0)
+        # estimator: [D·G·F / (4·cos_i)] / pdf  (evaluate_shading × div_scalar)
+        w_spec = jnp.where(ok, d_ggx * g / (4.0 * ct_i * jnp.maximum(pdf, 1e-12)), 0.0)
         thr_mul = jnp.where(m[:, None], f * w_spec[:, None], thr_mul)
         new_direction = jnp.where(m[:, None], wo, new_direction)
         new_origin = jnp.where(m[:, None], refl_origin, new_origin)
@@ -403,16 +440,20 @@ def _surface_interaction(scene: CompiledScene, cfg: RayConfig, state: RayState,
 
     # --- user-extensible BSDFs (material.pyx:205-390 extension point) ------------
     if scene.custom_materials:
-        sp = scene.spectral
-        lam = sp.min_wavelength + (
-            jnp.arange(B, dtype=dtype) + 0.5
-        ) * sp.delta_wavelength
+        lam = scene.wavelengths.astype(dtype)  # traced bin centres
         w_in = vmath.to_frame(-d, t_f, b_f, n_f)  # points away from surface
+        back_face = ~front  # reference 'exiting'/back_face flag (material.pyx:284)
         for cid, mat_obj in scene.custom_materials:
             m = mat_id == cid
+            # sanitize lane-gathered inputs: other materials' spectra/param
+            # rows ride the masked lanes, and a user singularity there (e.g.
+            # divide by a zero param) NaNs reverse-mode through jnp.where
+            # (same double-where hazard the dielectric branch guards)
+            spectra_s = jnp.where(m[:, None, None], spectra, 1.0)
+            params_s = jnp.where(m[:, None], params, 1.0)
             if mat_obj.MAT_TYPE == MAT_DISCRETE_BSDF:
                 wo_local, weight, transmitted = mat_obj.evaluate_shading(
-                    w_in, u[:, 1:3], lam, spectra, params
+                    w_in, u[:, 1:3], lam, spectra_s, params_s, back_face
                 )
                 wo = vmath.from_frame(wo_local, t_f, b_f, n_f)
                 ok = m & (jnp.max(weight, axis=-1) > 0.0)
@@ -425,7 +466,9 @@ def _surface_interaction(scene: CompiledScene, cfg: RayConfig, state: RayState,
                 )
                 continues = continues | ok
             else:  # ContinuousBSDF: one-sample MIS (material.pyx:327-352)
-                wo_bsdf_local = mat_obj.sample(w_in, u[:, 1], u[:, 2], spectra, params)
+                wo_bsdf_local = mat_obj.sample(
+                    w_in, u[:, 1], u[:, 2], spectra_s, params_s, back_face
+                )
                 use_mis = cfg.importance_sampling and scene.has_importance
                 if use_mis:
                     w_imp = cfg.important_path_weight
@@ -437,19 +480,27 @@ def _surface_interaction(scene: CompiledScene, cfg: RayConfig, state: RayState,
                     )
                     wo = vmath.from_frame(wo_local, t_f, b_f, n_f)
                     pdf_light = important_direction_pdf(scene, rec.point, wo)
-                    pdf_bsdf = mat_obj.pdf(w_in, wo_local, spectra, params)
+                    pdf_bsdf = mat_obj.pdf(w_in, wo_local, spectra_s, params_s, back_face)
                     pdf = w_imp * pdf_light + (1.0 - w_imp) * pdf_bsdf
                 else:
                     wo_local = wo_bsdf_local
                     wo = vmath.from_frame(wo_local, t_f, b_f, n_f)
-                    pdf = mat_obj.pdf(w_in, wo_local, spectra, params)
+                    pdf = mat_obj.pdf(w_in, wo_local, spectra_s, params_s, back_face)
                 cos_out = wo_local[:, 2]
-                f = mat_obj.bsdf(w_in, wo_local, lam, spectra, params)
-                ok = m & (pdf > 1e-9) & (cos_out > 0.0)
-                w_c = jnp.where(ok, cos_out / jnp.maximum(pdf, 1e-12), 0.0)
+                f = mat_obj.bsdf(w_in, wo_local, lam, spectra_s, params_s, back_face)
+                # transmissive lanes (cos_out < 0) relaunch on the far side
+                # of the surface (the reference hands w_transmission_origin
+                # to evaluate_shading, material.pyx:286-361); weight uses
+                # |cos_out| so below-hemisphere responses are not killed
+                ok = m & (pdf > 1e-9) & (jnp.abs(cos_out) > 1e-9)
+                w_c = jnp.where(ok, jnp.abs(cos_out) / jnp.maximum(pdf, 1e-12), 0.0)
                 thr_mul = jnp.where(m[:, None], f * w_c[:, None], thr_mul)
                 new_direction = jnp.where(m[:, None], wo, new_direction)
-                new_origin = jnp.where(m[:, None], refl_origin, new_origin)
+                new_origin = jnp.where(
+                    m[:, None],
+                    jnp.where(cos_out[:, None] < 0.0, trans_origin, refl_origin),
+                    new_origin,
+                )
                 continues = continues | ok
 
     # absorbers fall through: continues stays False, thr_mul 0
@@ -470,7 +521,6 @@ def _volume_interaction(scene: CompiledScene, state: RayState, rec: HitRecord):
     inside = entity_contains(scene, midpoint)  # [N, E]
     throughput = state.throughput
     emission = jnp.zeros_like(state.radiance)
-    sp = scene.spectral
     for e, mat_idx, kind, mat_obj, leaf_idx, mesh_slot in scene.volume_entities:
         m = inside[:, e] & rec.hit
         spec = scene.mat_spectra[mat_idx]  # [NSLOTS, B]
@@ -513,7 +563,7 @@ def _volume_interaction(scene: CompiledScene, state: RayState, rec: HitRecord):
                 fm = jnp.asarray(frame_extra(), p_loc.dtype)
                 p_loc = vmath.transform_point(fm[None, None], p_loc)
                 d_loc = vmath.transform_vector(fm[None], d_loc)
-            lam = sp.min_wavelength + (jnp.arange(sp.bins, dtype=t_seg.dtype) + 0.5) * sp.delta_wavelength
+            lam = scene.wavelengths.astype(t_seg.dtype)  # traced bin centres
             dens = inner.emission_function(p_loc, d_loc[:, None, :], lam)  # [N, S, B]
             emission = emission + jnp.where(
                 m[:, None], jnp.mean(dens, axis=1) * t_seg[:, None], 0.0
@@ -536,6 +586,10 @@ def trace_step(scene: CompiledScene, cfg: RayConfig, state: RayState, step_key):
     throughput = state.throughput * survive_scale[:, None]
 
     rec = intersect_scene(scene, state.origin, state.direction)
+    if cfg.max_distance != float("inf"):
+        # hits beyond the ray's terminating distance are misses
+        # (core/ray.pyx:38 semantics, enforced by every accelerator hit)
+        rec = dataclasses.replace(rec, hit=rec.hit & (rec.t <= cfg.max_distance))
 
     # volume stage over the traversed segment. Volume emission originates
     # within the segment so it is weighted by the segment-start throughput;

@@ -217,3 +217,78 @@ def test_pipelines_dimension_typed():
     assert issubclass(RadiancePipeline1D, Pipeline1D)
     assert issubclass(SpectralPowerPipeline0D, Pipeline0D)
     assert issubclass(SpectralRadiancePipeline2D, Pipeline2D)
+
+
+class TestRound2ParityFixes:
+    """Round-2 estimator/API parity fixes (VERDICT round-1 item 6)."""
+
+    def test_vector3d_default_is_z_unit(self):
+        # vector.pyx:65: Vector3D() defaults to (0, 0, 1)
+        from source_tpu.core.math.vector import Normal3D, Vector2D, Vector3D
+
+        v = Vector3D()
+        assert (v.x, v.y, v.z) == (0.0, 0.0, 1.0)
+        n = Normal3D()
+        assert (n.x, n.y, n.z) == (0.0, 0.0, 1.0)
+        # vector.pyx:630: Vector2D() defaults to (1, 0)
+        v2 = Vector2D()
+        assert (v2.x, v2.y) == (1.0, 0.0)
+
+    def test_point_default_is_origin(self):
+        from source_tpu.core.math.vector import Point2D, Point3D
+
+        p = Point3D()
+        assert (p.x, p.y, p.z) == (0.0, 0.0, 0.0)
+        p2 = Point2D()
+        assert (p2.x, p2.y) == (0.0, 0.0)
+
+    def test_primitive_hit_and_next_intersection(self):
+        # primitive.pyx:115-168: direct hit() + next_intersection() cursor
+        import numpy as np
+
+        from source_tpu.core import Point3D, Vector3D, translate
+        from source_tpu.core.ray import Ray as CoreRay
+        from source_tpu.core.scenegraph import World
+        from source_tpu.primitive import Sphere
+
+        s = Sphere(1.0, parent=World(), transform=translate(0, 0, 5))
+        ray = CoreRay(Point3D(0, 0, 0), Vector3D(0, 0, 1))
+        first = s.hit(ray)
+        assert first is not None
+        assert first.primitive is s
+        assert abs(first.ray_distance - 4.0) < 1e-3
+        assert not first.exiting
+        second = s.next_intersection()
+        assert second is not None
+        assert abs(second.ray_distance - 6.0) < 1e-3
+        assert second.exiting
+        third = s.next_intersection()
+        assert third is None
+
+    def test_primitive_contains(self):
+        from source_tpu.core import Point3D, translate
+        from source_tpu.core.scenegraph import World
+        from source_tpu.primitive import Sphere
+
+        s = Sphere(1.0, parent=World(), transform=translate(0, 0, 5))
+        assert s.contains(Point3D(0, 0, 5))
+        assert not s.contains(Point3D(0, 0, 0))
+
+    def test_ray_max_distance_limits_trace(self):
+        # core/ray.pyx:38: hits beyond max_distance are misses
+        from source_tpu.core import Point3D, Vector3D, translate
+        from source_tpu.core.scenegraph import World
+        from source_tpu.optical import ConstantSF, Ray
+        from source_tpu.optical.material import UniformSurfaceEmitter
+        from source_tpu.primitive import Sphere
+
+        world = World()
+        Sphere(1.0, parent=world, transform=translate(0, 0, 5),
+               material=UniformSurfaceEmitter(ConstantSF(1.0)))
+        unlimited = Ray(Point3D(0, 0, 0), Vector3D(0, 0, 1), bins=2)
+        spectrum = unlimited.trace(world)
+        assert spectrum.samples.max() > 0.5
+        limited = Ray(Point3D(0, 0, 0), Vector3D(0, 0, 1), bins=2,
+                      max_distance=2.0)
+        spectrum = limited.trace(world)
+        assert spectrum.samples.max() == 0.0
