@@ -39,28 +39,42 @@ def _check_axis(x, name):
     return x
 
 
-def _fd_slopes(x4, f4):
-    """Finite-difference slopes over a gathered 4-point window (last axis).
+def _fd_slope(xm, x0, xp, fm, f0, fp):
+    """Knot slope at x0 from its neighbours.
 
-    Interior knots get centred differences — identical across neighbouring
-    windows, so the piecewise Hermite is C1. Clamped (duplicated) edge
-    points degrade gracefully to one-sided differences.
-    """
-    dfd = jnp.gradient(f4, axis=-1)
-    dxd = jnp.gradient(x4, axis=-1)
-    ok = jnp.abs(dxd) > 1e-300
-    return jnp.where(ok, dfd / jnp.where(ok, dxd, 1.0), 0.0)
+    Interior knots: the reference's second-order non-uniform three-point
+    formula (interpolate.pyx _ArrayDerivative1D._evaluate_x),
+        fx = [fp*dx1^2 - fm*dx0^2 - f0*(dx1^2 - dx0^2)] / (dx0*dx1^2 + dx1*dx0^2)
+    with dx0 = xp - x0, dx1 = x0 - xm; reduces to the centred difference on
+    even grids. Clamped (duplicated) edge points collapse one of the deltas
+    to zero, degrading to the reference's first-order one-sided edge
+    estimate (_evaluate_edge_x)."""
+    dx0 = xp - x0
+    dx1 = x0 - xm
+    # clamped windows duplicate coordinates EXACTLY, so compare against zero
+    # (a tiny epsilon like 1e-300 underflows to 0 in f32 and never fires)
+    lo_edge = dx1 == 0.0
+    hi_edge = dx0 == 0.0
+    num = fp * dx1 * dx1 - fm * dx0 * dx0 - f0 * (dx1 * dx1 - dx0 * dx0)
+    den = dx0 * dx1 * dx1 + dx1 * dx0 * dx0
+    interior = jnp.where(den != 0.0, num / jnp.where(den != 0.0, den, 1.0), 0.0)
+    one_sided_lo = (fp - f0) / jnp.where(hi_edge, 1.0, dx0)
+    one_sided_hi = (f0 - fm) / jnp.where(lo_edge, 1.0, dx1)
+    return jnp.where(lo_edge, one_sided_lo, jnp.where(hi_edge, one_sided_hi, interior))
 
 
 def _hermite_window(x4, f4, q):
     """Cubic Hermite on the middle interval [x4[...,1], x4[...,2]] of a
     4-point window, with FD slopes. q broadcasts against x4[..., 0]."""
-    m4 = _fd_slopes(x4, f4)
+    m_a = _fd_slope(x4[..., 0], x4[..., 1], x4[..., 2],
+                    f4[..., 0], f4[..., 1], f4[..., 2])
+    m_b = _fd_slope(x4[..., 1], x4[..., 2], x4[..., 3],
+                    f4[..., 1], f4[..., 2], f4[..., 3])
     h = x4[..., 2] - x4[..., 1]
     hs = jnp.maximum(jnp.abs(h), 1e-30) * jnp.where(h < 0, -1.0, 1.0)
     t = (q - x4[..., 1]) / hs
     f0, f1 = f4[..., 1], f4[..., 2]
-    m0, m1 = m4[..., 1] * hs, m4[..., 2] * hs
+    m0, m1 = m_a * hs, m_b * hs
     t2 = t * t
     t3 = t2 * t
     return (
@@ -82,6 +96,16 @@ class _GridInterpolator:
             raise ValueError(f"interpolation_type must be one of {_INTERP_TYPES}.")
         if extrapolation_type not in _EXTRAP_TYPES:
             raise ValueError(f"extrapolation_type must be one of {_EXTRAP_TYPES}.")
+        if extrapolation_type == "quadratic" and (
+            interpolation_type != "cubic" or len(axes) != 1
+        ):
+            # reference permitted_interpolation_combinations: quadratic
+            # extrapolation exists only for the 1D cubic interpolator
+            # (interpolate.pyx:745-749; 2D/3D interpolators omit it)
+            raise ValueError(
+                f"Extrapolation type {extrapolation_type} not compatible with "
+                f"interpolation type {interpolation_type}."
+            )
         self.interpolation_type = interpolation_type
         self.extrapolation_type = extrapolation_type
         self.extrapolation_range = float(extrapolation_range)
@@ -94,6 +118,30 @@ class _GridInterpolator:
             raise ValueError("cubic interpolation requires >= 4 samples per axis.")
         self._axes = [jnp.asarray(a) for a in axes]
         self._f = jnp.asarray(f)
+
+        if extrapolation_type == "quadratic":
+            # data-driven edge curvature matching the reference
+            # _Extrapolator1DQuadratic (interpolate.pyx:499-570): a quadratic
+            # through the edge knot with the edge first-derivative and the
+            # slope CHANGE across the edge cell as curvature
+            x0 = axes[0]
+            f0 = f
+            h_lo = x0[1] - x0[0]
+            m0 = (f0[1] - f0[0]) / h_lo
+            m1 = self._np_fd_slope(x0[0], x0[1], x0[2], f0[0], f0[1], f0[2])
+            self._quad_d2_lo = float((m1 - m0) / h_lo)
+            h_hi = x0[-1] - x0[-2]
+            m_end = (f0[-1] - f0[-2]) / h_hi
+            m_in = self._np_fd_slope(x0[-3], x0[-2], x0[-1], f0[-3], f0[-2], f0[-1])
+            self._quad_d2_hi = float((m_end - m_in) / h_hi)
+
+    @staticmethod
+    def _np_fd_slope(xm, x0, xp, fm, f0, fp):
+        """Host-side interior knot slope (same formula as _fd_slope)."""
+        dx0 = xp - x0
+        dx1 = x0 - xm
+        num = fp * dx1 * dx1 - fm * dx0 * dx0 - f0 * (dx1 * dx1 - dx0 * dx0)
+        return num / (dx0 * dx1 * dx1 + dx1 * dx0 * dx0)
 
     def _eval(self, *qs):
         qs = [jnp.asarray(q, self._f.dtype) for q in qs]
@@ -117,34 +165,43 @@ class _GridInterpolator:
         else:
             val = self._multicubic(clipped)
 
-        # linear/quadratic extrapolation: per-axis Taylor correction from
-        # the nearest edge (interpolate.pyx extrapolator semantics)
+        # linear/quadratic extrapolation: multilinear Taylor expansion from
+        # the nearest edge point — per-axis first-derivative terms plus the
+        # mixed cross terms in corner regions (the reference's
+        # _evaluate_edge_xy adds Dx*Dy*d2f/dxdy, interpolator2darray.pyx:837;
+        # the 3D extrapolator adds the pairwise and triple products)
         if self.extrapolation_type in ("linear", "quadratic"):
-            for d in range(nd):
-                dq = qs[d] - clipped[d]
-                outside = dq != 0.0
-                g1 = self._edge_derivative(clipped, d, order=1)
-                corr = g1 * dq
-                if self.extrapolation_type == "quadratic":
-                    g2 = self._edge_derivative(clipped, d, order=2)
-                    corr = corr + 0.5 * g2 * dq * dq
+            deltas = [qs[d] - clipped[d] for d in range(nd)]
+            # every non-empty axis subset gets its mixed-derivative term
+            for mask in range(1, 2 ** nd):
+                axes_sel = tuple(d for d in range(nd) if (mask >> d) & 1)
+                g = self._edge_derivative(clipped, axes_sel)
+                corr = g
+                outside = None
+                for d in axes_sel:
+                    corr = corr * deltas[d]
+                    o = deltas[d] != 0.0
+                    outside = o if outside is None else (outside & o)
                 val = val + jnp.where(outside, corr, 0.0)
+            if self.extrapolation_type == "quadratic":
+                dq = deltas[0]
+                g2 = jnp.where(dq < 0.0, self._quad_d2_lo, self._quad_d2_hi)
+                val = val + jnp.where(dq != 0.0, 0.5 * g2 * dq * dq, 0.0)
         return jnp.where(invalid, jnp.nan, val)
 
-    def _edge_derivative(self, clipped, d, order):
-        """Exact directional derivative (order 1 or 2) of the interpolant
-        along axis d at the clipped edge point, via autodiff (no FD
-        cancellation in f32)."""
+    def _edge_derivative(self, clipped, axes_sel):
+        """Exact mixed partial derivative of the interpolant (one
+        differentiation per axis in ``axes_sel``) at the clipped edge point,
+        via autodiff (no FD cancellation in f32)."""
         import jax
 
         interp = self._multilinear if self.interpolation_type == "linear" else self._multicubic
-        nd = len(self._axes)
 
         def scalar_f(*qs_scalar):
             return interp([q[None] for q in qs_scalar])[0]
 
-        g = jax.grad(scalar_f, argnums=d)
-        if order == 2:
+        g = scalar_f
+        for d in axes_sel:
             g = jax.grad(g, argnums=d)
         shape = jnp.broadcast_shapes(*[jnp.shape(c) for c in clipped])
         flat = [jnp.broadcast_to(c, shape).reshape(-1) for c in clipped]

@@ -354,6 +354,16 @@ class ObserverBase(_SceneObserver):
         n_tiles = (n_tasks + T - 1) // T
         spp = int(self.pixel_samples)
 
+        # sample chunking (base/observer.pyx:629-644 samples_per_task): a
+        # million-sample observation streams in fixed-memory chunks instead
+        # of one [T, spp] device batch. Equal-size chunks share the compiled
+        # kernel; at most one remainder chunk adds a second compile.
+        spt = int(self.samples_per_task or spp)
+        spt = max(1, min(spt, spp))
+        sample_chunks = [spt] * (spp // spt)
+        if spp % spt:
+            sample_chunks.append(spp % spt)
+
         for tile_idx in range(n_tiles):
             chunk = tasks[tile_idx * T:(tile_idx + 1) * T]
             # pad to the next power of two (min 8, for device divisibility),
@@ -371,32 +381,43 @@ class ObserverBase(_SceneObserver):
             flat_ids = self._task_to_flat(chunk)
             px, py = self._task_to_pixel_coords(chunk)
             tile_key = jax.random.fold_in(key, tile_idx)
+            sens = sensitivity_all[jnp.asarray(flat_ids)]
+            pxj, pyj = jnp.asarray(px), jnp.asarray(py)
 
-            # accumulate per-pipeline per-sample projections over slices
-            proj_sums = None
-            for s_idx, (slice_, scene) in enumerate(zip(slices, scenes)):
-                out = self._render_tile(
-                    scene, cfg, slice_,
-                    jnp.asarray(px), jnp.asarray(py),
-                    sensitivity_all[jnp.asarray(flat_ids)],
-                    cam_to_world, spp,
-                    jax.random.fold_in(tile_key, s_idx),
-                )
-                projections, segments = out
-                self._stats_rays += int(segments)
-                # each pipeline projects to its FULL channel count (spectral
-                # pipelines zero-fill outside the slice), so slices just sum
-                if proj_sums is None:
-                    proj_sums = list(projections)
-                else:
-                    for i, p in enumerate(projections):
-                        proj_sums[i] = proj_sums[i] + p
+            # accumulate per-pixel (sum, sum-of-squares) over sample chunks;
+            # per chunk, slices sum into the full per-sample spectrum first
+            acc_sum = acc_sq = None
+            for c_idx, s_chunk in enumerate(sample_chunks):
+                proj_sums = None
+                for s_idx, (slice_, scene) in enumerate(zip(slices, scenes)):
+                    out = self._render_tile(
+                        scene, cfg, slice_, pxj, pyj, sens, cam_to_world,
+                        s_chunk,
+                        jax.random.fold_in(tile_key, c_idx * 8191 + s_idx),
+                    )
+                    projections, segments = out
+                    self._stats_rays += int(segments)
+                    # each pipeline projects to its FULL channel count
+                    # (spectral pipelines zero-fill outside the slice), so
+                    # slices just sum
+                    if proj_sums is None:
+                        proj_sums = list(projections)
+                    else:
+                        for i, p in enumerate(projections):
+                            proj_sums[i] = proj_sums[i] + p
+                if acc_sum is None:
+                    acc_sum = [0.0] * len(proj_sums)
+                    acc_sq = [0.0] * len(proj_sums)
+                for i, proj in enumerate(proj_sums):
+                    vals = np.asarray(proj, dtype=np.float64)  # [T, S, C]
+                    acc_sum[i] = acc_sum[i] + vals.sum(axis=1)
+                    acc_sq[i] = acc_sq[i] + (vals * vals).sum(axis=1)
 
-            # fold per-sample sums into per-pixel statistics and update pipelines
-            for pipe, proj in zip(self.pipelines, proj_sums):
-                vals = np.asarray(proj, dtype=np.float64)  # [T, S, C]
-                mean = vals.mean(axis=1)
-                m2 = ((vals - mean[:, None, :]) ** 2).sum(axis=1)
+            # fold per-pixel statistics into the pipelines
+            for pipe, v_sum, v_sq in zip(self.pipelines, acc_sum, acc_sq):
+                mean = v_sum / spp
+                m2 = v_sq - spp * mean * mean
+                np.maximum(m2, 0.0, out=m2)  # guard f.p. cancellation
                 n = np.full(mean.shape[:1], spp, dtype=np.int64)
                 pipe.update(flat_ids[valid], mean[valid], m2[valid], n[valid])
 
