@@ -40,7 +40,9 @@ def main():
     from source_tpu.parallel.engine import render_batch, render_loss_and_grads
     from source_tpu.tracer.wavefront import RayConfig
 
-    world = build_world(glass=False)
+    # full flagship scene INCLUDING the dielectric glass prisms (the hard
+    # path: refraction roulette + Beer-Lambert volumes), per VERDICT r1
+    world = build_world(glass=True)
     scene = compile_scene(world, SpectralConfig(375.0, 740.0, BINS))
     cfg = RayConfig(
         max_depth=MAX_DEPTH,

@@ -122,6 +122,7 @@ def bench_mesh():
     camera.spectral_bins = 12
     camera.ray_max_depth = 12
     camera.max_wavefront_iters = 16
+    camera.compact_schedule = ((3, 4), (3, 4))
     return _observe_timed(camera)
 
 

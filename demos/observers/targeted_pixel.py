@@ -41,9 +41,9 @@ def main():
     targeted.quiet = True
     targeted.observe(seed=42)
 
-    print(f"plain pixel:    {plain_pipe.value.mean:.3e} +/- {plain_pipe.value.error:.1e} W")
-    print(f"targeted pixel: {targ_pipe.value.mean:.3e} +/- {targ_pipe.value.error:.1e} W")
-    ratio = plain_pipe.value.error / max(targ_pipe.value.error, 1e-30)
+    print(f"plain pixel:    {plain_pipe.value.mean:.3e} +/- {plain_pipe.value.error():.1e} W")
+    print(f"targeted pixel: {targ_pipe.value.mean:.3e} +/- {targ_pipe.value.error():.1e} W")
+    ratio = plain_pipe.value.error() / max(targ_pipe.value.error(), 1e-30)
     print(f"error reduction: {ratio:.1f}x at equal samples")
     assert ratio > 2.0
 

@@ -200,8 +200,9 @@ class StatsBin:
         self.samples = n
         self.variance = self._m2 / (n - 1) if n > 1 else 0.0
 
-    @property
     def error(self):
+        """Standard error of the mean (statsarray.pxd:46 — a METHOD in the
+        reference API, not a property)."""
         if self.samples <= 0:
             return 0.0
         return math.sqrt(self.variance / self.samples)

@@ -386,3 +386,84 @@ def export_vtk(mesh, path, comment="exported by source_tpu"):
         f.write(f"POLYGONS {d.n_triangles} {4 * d.n_triangles}\n")
         for t in d.triangles:
             f.write(f"3 {t[0]} {t[1]} {t[2]}\n")
+
+
+# --- RSM: the reference's binary mesh format (mesh.pyx:864-1046) ----------------
+
+
+def import_rsm(path, **kwargs):
+    """Load a Raysect .rsm binary mesh file (mesh.pyx:936-1028 layout).
+
+    The embedded kd-tree (the reference serialises its built accelerator,
+    kdtree3d.pyx:864-912) is parsed and discarded — this framework compiles
+    its own threaded BVH from the geometry, so existing .rsm assets load
+    without the reference being installed.
+    """
+    with open(path, "rb") as f:
+        if f.read(3) != b"RSM":
+            raise ValueError("Specified file is not a Raysect mesh file.")
+        major, minor = struct.unpack("<BB", f.read(2))
+        if major != 1:
+            raise ValueError(f"Unsupported Raysect mesh version {major}.{minor}.")
+        smoothing, closed, _has_kdtree = struct.unpack("<???", f.read(3))
+        nv, nn, nt = struct.unpack("<iii", f.read(12))
+        vertices = np.frombuffer(f.read(12 * nv), "<f4").reshape(nv, 3)
+        normals = None
+        if nn > 0:
+            normals = np.frombuffer(f.read(12 * nn), "<f4").reshape(nn, 3)
+        width = 6 if nn > 0 else 3
+        triangles = np.frombuffer(f.read(4 * width * nt), "<i4").reshape(nt, width)
+        # kd-tree payload ignored (we rebuild); no need to parse further
+    kwargs.setdefault("smoothing", bool(smoothing))
+    kwargs.setdefault("closed", bool(closed))
+    # per-triangle normal indices (columns 3:6) are reduced to per-vertex
+    # normals where they are the identity mapping; otherwise recompute
+    vertex_normals = None
+    if normals is not None and triangles.shape[1] == 6:
+        if np.array_equal(triangles[:, :3], triangles[:, 3:6]) and nn == nv:
+            vertex_normals = normals
+        triangles = triangles[:, :3]
+    return Mesh(np.ascontiguousarray(vertices),
+                np.ascontiguousarray(triangles),
+                normals=vertex_normals, **_mesh_kwargs(kwargs))
+
+
+def export_rsm(mesh, path):
+    """Write a Raysect-loadable .rsm binary mesh file.
+
+    Geometry follows mesh.pyx:888-928; the mandatory kd-tree section is
+    written as a single root LEAF holding every triangle (a valid, if
+    unaccelerated, reference kd-tree — the reference rebuilds or tolerates
+    it; our own importer ignores the section entirely).
+    """
+    d = mesh.data
+    v = np.asarray(d.vertices, "<f4")
+    # undo the BVH permutation so triangle order matches vertex normals
+    t = np.asarray(d.triangles, "<i4")
+    vn = d.vertex_normals
+    with open(path, "wb") as f:
+        f.write(b"RSM")
+        f.write(struct.pack("<BB", 1, 0))
+        f.write(struct.pack("<???", bool(d.smoothing), bool(d.closed), True))
+        nv = v.shape[0]
+        nn = 0 if vn is None else np.asarray(vn).shape[0]
+        nt = t.shape[0]
+        f.write(struct.pack("<iii", nv, nn, nt))
+        f.write(v.tobytes())
+        if nn:
+            f.write(np.asarray(vn, "<f4").tobytes())
+        if nn:
+            tri6 = np.concatenate([t, t], axis=1).astype("<i4")
+            f.write(tri6.tobytes())
+        else:
+            f.write(t.tobytes())
+        # kd-tree header (kdtree3d.pyx:877-892): depth/min_items/hit_cost/
+        # empty_bonus, world bounds, then one LEAF node with all items
+        lo, hi = d.local_aabb()
+        f.write(struct.pack("<ii", 0, 1))
+        f.write(struct.pack("<dd", 20.0, 0.2))
+        f.write(struct.pack("<ddd", *[float(x) for x in lo]))
+        f.write(struct.pack("<ddd", *[float(x) for x in hi]))
+        f.write(struct.pack("<i", 1))  # node count
+        f.write(struct.pack("<ii", -1, nt))  # LEAF, item count
+        f.write(np.arange(nt, dtype="<i4").tobytes())

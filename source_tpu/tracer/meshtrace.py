@@ -52,10 +52,13 @@ class MeshTables:
     node_count: Any  # i32[NN]
     w2l: Any  # f32[4,4] world -> local
     l2w: Any  # f32[4,4]
-    # lane-major packed tables for the Pallas packet kernel (pallas_mesh.py);
-    # None when the mesh exceeds the VMEM budget or packing was skipped
+    # lane-major packed tables for the Pallas packet kernel (pallas_mesh.py):
+    # a dict for meshes fitting the VMEM budget, a TUPLE of per-page dicts
+    # for larger meshes (page_meta carries each page's static BVH shape), or
+    # None when packing was skipped
     packed: Any = None
 
+    page_meta: tuple = dataclasses.field(metadata=dict(static=True), default=())
     n_nodes: int = dataclasses.field(metadata=dict(static=True), default=0)
     max_leaf: int = dataclasses.field(metadata=dict(static=True), default=4)
     smoothing: bool = dataclasses.field(metadata=dict(static=True), default=True)
@@ -214,17 +217,24 @@ def mesh_hit_count(mesh: MeshTables, origin, direction, t_min):
 # --- Pallas packet-kernel dispatch (TPU) ---------------------------------------------
 
 
-@jax.custom_vjp
-def _mesh_intersect_packet(mesh, origin, direction, t_min):
-    from .pallas_mesh import mesh_intersect_pallas_fwd_impl
+def _packet_impl(mesh, origin, direction, t_min):
+    from .pallas_mesh import (
+        mesh_intersect_pallas_fwd_impl,
+        mesh_intersect_pallas_paged_impl,
+    )
 
+    if mesh.page_meta:
+        return mesh_intersect_pallas_paged_impl(mesh, origin, direction, t_min)
     return mesh_intersect_pallas_fwd_impl(mesh, origin, direction, t_min)
 
 
-def _packet_fwd(mesh, origin, direction, t_min):
-    from .pallas_mesh import mesh_intersect_pallas_fwd_impl
+@jax.custom_vjp
+def _mesh_intersect_packet(mesh, origin, direction, t_min):
+    return _packet_impl(mesh, origin, direction, t_min)
 
-    out = mesh_intersect_pallas_fwd_impl(mesh, origin, direction, t_min)
+
+def _packet_fwd(mesh, origin, direction, t_min):
+    out = _packet_impl(mesh, origin, direction, t_min)
     return out, (mesh, origin, direction, t_min, out["tri"], out["front"])
 
 

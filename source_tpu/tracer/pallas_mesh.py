@@ -106,6 +106,67 @@ def pack_mesh_host(vertices, triangles, node_lo, node_hi, node_skip,
     return packed
 
 
+def pack_mesh_paged_host(vertices, triangles, max_leaf=4,
+                         page_limit=VMEM_TABLE_LIMIT // 2):
+    """Large-mesh paging: partition the (BVH-ordered, spatially coherent)
+    triangle array into contiguous pages, build a private threaded BVH per
+    page, and pack each page for the packet kernel. Rays traverse the pages
+    sequentially (each page's tables fit VMEM); a ray that misses a page's
+    root AABB exits that page's while-loop after one step, so the per-page
+    overhead for spatially separated pages is one slab test.
+
+    Returns (pages, metas): pages is a tuple of packed-table dicts (each
+    with a ``tri_ids`` plane mapping page-local triangle ids back to the
+    global triangle array), metas is ((n_nodes, max_leaf), ...) static
+    structure. Returns (None, None) if the mesh is too large even to page
+    (> 2^24 triangles, beyond f32-exact indices).
+    """
+    from ..accel.bvh import build_bvh
+
+    tris = np.asarray(triangles)
+    verts = np.asarray(vertices, np.float32)
+    n = tris.shape[0]
+    if n >= (1 << 24):
+        return None, None
+    # ~record bytes per triangle/node pair (tris 128B/8 + nodes ~ same)
+    per_tri = 2 * (_LANES * 4) / _REC_PER_ROW  # tri rec + ~1 node rec
+    tris_per_page = max(256, int(page_limit / per_tri))
+    n_pages = -(-n // tris_per_page)
+    pages = []
+    metas = []
+    for p in range(n_pages):
+        start = p * tris_per_page
+        stop = min(n, start + tris_per_page)
+        chunk = tris[start:stop]
+        v0 = verts[chunk[:, 0]]
+        v1 = verts[chunk[:, 1]]
+        v2 = verts[chunk[:, 2]]
+        pts = np.stack([v0, v1, v2], axis=1)
+        lo = pts.min(axis=1)
+        hi = pts.max(axis=1)
+        pad = 1e-6 * np.maximum(1.0, np.abs(pts).max(axis=(1, 2)))[:, None]
+        bvh = build_bvh(lo - pad, hi + pad, max_leaf=max_leaf)
+        order = np.asarray(bvh.order)
+        page = {
+            "nodes": _pack_records([
+                bvh.node_lo[:, 0], bvh.node_lo[:, 1], bvh.node_lo[:, 2],
+                bvh.node_hi[:, 0], bvh.node_hi[:, 1], bvh.node_hi[:, 2],
+                np.asarray(bvh.node_skip), np.asarray(bvh.node_first),
+                np.asarray(bvh.node_count),
+            ]),
+            "tris": _pack_records([
+                v0[order, 0], v0[order, 1], v0[order, 2],
+                v1[order, 0], v1[order, 1], v1[order, 2],
+                v2[order, 0], v2[order, 1], v2[order, 2],
+            ]),
+            # page-local winner -> global triangle id
+            "tri_ids": (start + order).astype(np.int32),
+        }
+        pages.append(page)
+        metas.append((int(bvh.n_nodes), int(max(1, bvh.max_leaf_size))))
+    return tuple(pages), tuple(metas)
+
+
 def _kernel(n_nodes, max_leaf,
             o_ref, d_ref, tmin_ref, nodes_ref, tris_ref,
             t_out, tri_out, u_out, v_out, front_out):
@@ -226,24 +287,24 @@ def _kernel(n_nodes, max_leaf,
     front_out[...] = f_best
 
 
-def mesh_intersect_pallas_fwd_impl(mesh, origin, direction, t_min):
-    """Forward packet traversal. origin/direction [N,3], t_min [N].
-    Returns dict(t [+inf on miss], tri, u, v, front)."""
+def _pack_rays(origin, direction, t_min):
     N = origin.shape[0]
     n_pad = -(-N // _TILE) * _TILE
     rows = n_pad // _LANES
 
-    def pack_rays(a3):
+    def pack3(a3):
         a = jnp.zeros((n_pad, 3), jnp.float32).at[:N].set(a3.astype(jnp.float32))
         # [n_pad, 3] -> [3, rows, 128]
         return jnp.transpose(a.reshape(rows, _LANES, 3), (2, 0, 1))
 
-    o_p = pack_rays(origin)
-    d_p = pack_rays(direction)
+    o_p = pack3(origin)
+    d_p = pack3(direction)
     t_p = jnp.zeros((1, n_pad), jnp.float32).at[0, :N].set(
         t_min.astype(jnp.float32)).reshape(1, rows, _LANES)
+    return o_p, d_p, t_p, n_pad, rows
 
-    tables = mesh.packed
+
+def _run_traversal(tables, n_nodes, max_leaf, o_p, d_p, t_p, n_pad, rows):
     grid = n_pad // _TILE
     rows_per_tile = _TILE // _LANES  # 8
 
@@ -257,8 +318,8 @@ def mesh_intersect_pallas_fwd_impl(mesh, origin, direction, t_min):
     out_spec = pl.BlockSpec(
         (rows_per_tile, _LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
 
-    kernel = functools.partial(_kernel, int(mesh.n_nodes), int(mesh.max_leaf))
-    outs = pl.pallas_call(
+    kernel = functools.partial(_kernel, int(n_nodes), int(max_leaf))
+    return pl.pallas_call(
         kernel,
         grid=(grid,),
         in_specs=[ray_spec, ray_spec, tmin_spec] + [table_spec] * 2,
@@ -271,8 +332,45 @@ def mesh_intersect_pallas_fwd_impl(mesh, origin, direction, t_min):
             jax.ShapeDtypeStruct((rows, _LANES), jnp.int32),
         ),
         interpret=jax.default_backend() != "tpu",
-    )(o_p, d_p, t_p, *[tables[k] for k in TABLE_ORDER])
+    )(o_p, d_p, t_p, tables["nodes"], tables["tris"])
 
+
+def mesh_intersect_pallas_fwd_impl(mesh, origin, direction, t_min):
+    """Forward packet traversal. origin/direction [N,3], t_min [N].
+    Returns dict(t [+inf on miss], tri, u, v, front)."""
+    N = origin.shape[0]
+    o_p, d_p, t_p, n_pad, rows = _pack_rays(origin, direction, t_min)
+    outs = _run_traversal(mesh.packed, mesh.n_nodes, mesh.max_leaf,
+                          o_p, d_p, t_p, n_pad, rows)
     t, tri, u, v, front = (x.reshape(n_pad)[:N] for x in outs)
     t = jnp.where(tri >= 0, t, jnp.inf)
+    return {"t": t, "tri": tri, "u": u, "v": v, "front": front > 0}
+
+
+def mesh_intersect_pallas_paged_impl(mesh, origin, direction, t_min):
+    """Paged packet traversal for meshes whose tables exceed VMEM: rays
+    traverse every page's private BVH sequentially and the nearest hit wins.
+    Page-local winner ids map back through the page's tri_ids table."""
+    N = origin.shape[0]
+    o_p, d_p, t_p, n_pad, rows = _pack_rays(origin, direction, t_min)
+    best = None
+    for page, (n_nodes, max_leaf) in zip(mesh.packed, mesh.page_meta):
+        outs = _run_traversal(page, n_nodes, max_leaf, o_p, d_p, t_p,
+                              n_pad, rows)
+        t, tri, u, v, front = (x.reshape(n_pad)[:N] for x in outs)
+        hit = tri >= 0
+        tri = jnp.where(hit, page["tri_ids"][jnp.maximum(tri, 0)], -1)
+        t = jnp.where(hit, t, jnp.inf)
+        if best is None:
+            best = [t, tri, u, v, front]
+        else:
+            better = t < best[0]
+            best = [
+                jnp.where(better, t, best[0]),
+                jnp.where(better, tri, best[1]),
+                jnp.where(better, u, best[2]),
+                jnp.where(better, v, best[3]),
+                jnp.where(better, front, best[4]),
+            ]
+    t, tri, u, v, front = best
     return {"t": t, "tri": tri, "u": u, "v": v, "front": front > 0}

@@ -585,7 +585,15 @@ def trace_step(scene: CompiledScene, cfg: RayConfig, state: RayState, step_key):
     alive = state.alive & ~killed & (state.depth < cfg.max_depth)
     throughput = state.throughput * survive_scale[:, None]
 
-    rec = intersect_scene(scene, state.origin, state.direction)
+    # park dead lanes far outside every bounding volume: a dead ray keeps
+    # its last origin/direction, and re-traversing that stale path every
+    # iteration forces the mesh packet kernels to visit the union of node
+    # sets of lanes that no longer matter. Parked lanes fail the root slab
+    # test immediately. All downstream state updates are gated on
+    # ``alive & rec.hit`` so their (miss) records never propagate.
+    park = jnp.asarray([3.0e7, 3.0e7, 3.0e7], state.origin.dtype)
+    origin_q = jnp.where(alive[:, None], state.origin, park)
+    rec = intersect_scene(scene, origin_q, state.direction)
     if cfg.max_distance != float("inf"):
         # hits beyond the ray's terminating distance are misses
         # (core/ray.pyx:38 semantics, enforced by every accelerator hit)

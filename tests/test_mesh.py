@@ -216,3 +216,38 @@ def test_mesh_render_unity_emitter():
     o = jnp.zeros((128, 3))
     out = render_batch(scene, cfg, o, d, jax.random.PRNGKey(1))
     assert np.allclose(np.asarray(out.radiance), 1.0, atol=1e-4)
+
+
+def test_rsm_round_trip(tmp_path):
+    """import_rsm/export_rsm: the reference's binary mesh format
+    (mesh.pyx:864-1046) round-trips geometry + flags."""
+    import numpy as np
+
+    from source_tpu.primitive.mesh import Mesh, export_rsm, import_rsm
+
+    v = np.asarray([[0, 0, 0], [1, 0, 0], [0, 1, 0], [0, 0, 1]], np.float32)
+    t = np.asarray([[0, 1, 2], [0, 1, 3], [0, 2, 3], [1, 2, 3]], np.int32)
+    mesh = Mesh(v, t, smoothing=False, closed=True)
+    path = str(tmp_path / "tetra.rsm")
+    export_rsm(mesh, path)
+    loaded = import_rsm(path)
+    assert loaded.data.n_vertices == 4
+    assert loaded.data.n_triangles == 4
+    assert loaded.data.smoothing is False
+    assert loaded.data.closed is True
+    # triangle SET preserved (BVH permutation may reorder rows)
+    got = {tuple(sorted(row)) for row in loaded.data.triangles[:, :3].tolist()}
+    want = {tuple(sorted(row)) for row in t.tolist()}
+    assert got == want
+    np.testing.assert_allclose(loaded.data.vertices, v)
+
+
+def test_rsm_bad_header_raises(tmp_path):
+    import pytest
+
+    from source_tpu.primitive.mesh import import_rsm
+
+    path = tmp_path / "bad.rsm"
+    path.write_bytes(b"NOT A MESH")
+    with pytest.raises(ValueError):
+        import_rsm(str(path))
