@@ -164,34 +164,47 @@ def intersect_scene(scene: CompiledScene, origin, direction, t_min_scale=None):
     E = scene.n_entities
     t_entity = jnp.full((N, E), _INF, dtype=origin.dtype)
 
+    # Per-type streaming: each type slice's candidates fold into per-entity
+    # minima IMMEDIATELY, so the full [N, L, K] crossing tensor is never
+    # materialised in HBM (at 500 leaves that tensor is ~1 GB per bounce and
+    # dominates the memory-bound intersection cost). Only the few leaves
+    # owned by CSG entities keep their K candidates for the boundary logic.
+    csg_leaf_ids = set()
+    for _, leaf_ids, _ in scene.csg_entities:
+        csg_leaf_ids.update(leaf_ids)
+
+    csg_cand = {}  # global leaf id -> [N, K] candidates
     if scene.n_leaves:
-        cand = leaf_candidates(scene, origin, direction)  # [N, L, K]
-
-        # nearest positive crossing per leaf
-        cand_pos = jnp.where(cand > eps[:, None, None], cand, _INF)
-        t_leaf = jnp.min(cand_pos, axis=-1)  # [N, L]
-
-        # simple entities: scatter-min over leaf -> entity
-        # mask out leaves belonging to CSG entities for the simple pass
-        csg_leaf_ids = set()
-        for _, leaf_ids, _ in scene.csg_entities:
-            csg_leaf_ids.update(leaf_ids)
-        if len(csg_leaf_ids) < scene.n_leaves:
-            if csg_leaf_ids:
-                keep = jnp.asarray(
-                    [i not in csg_leaf_ids for i in range(scene.n_leaves)], dtype=bool
-                )
-                t_leaf_simple = jnp.where(keep[None, :], t_leaf, _INF)
-            else:
-                t_leaf_simple = t_leaf
-            t_entity = t_entity.at[:, scene.leaf_entity].min(t_leaf_simple)
+        leaf_entity_np = scene.leaf_entity
+        for type_id, start, stop in scene.type_slices:
+            w2l = scene.leaf_w2l[start:stop]  # [l,4,4]
+            params = scene.leaf_params[start:stop]  # [l,PB]
+            o_loc = vmath.transform_point(w2l[None, :], origin[:, None, :])
+            d_loc = vmath.transform_vector(w2l[None, :], direction[:, None, :])
+            cand_slice = _a.CANDIDATE_FNS[type_id](o_loc, d_loc, params[None, :, :])
+            # nearest positive crossing per leaf in this slice
+            cand_pos = jnp.where(cand_slice > eps[:, None, None], cand_slice, _INF)
+            t_leaf_slice = jnp.min(cand_pos, axis=-1)  # [N, l]
+            simple_sel = [i for i in range(start, stop) if i not in csg_leaf_ids]
+            if simple_sel:
+                if len(simple_sel) == stop - start:
+                    t_simple = t_leaf_slice
+                    ent_ids = leaf_entity_np[start:stop]
+                else:
+                    local = jnp.asarray([i - start for i in simple_sel])
+                    t_simple = t_leaf_slice[:, local]
+                    ent_ids = leaf_entity_np[jnp.asarray(simple_sel)]
+                t_entity = t_entity.at[:, ent_ids].min(t_simple)
+            for g in range(start, stop):
+                if g in csg_leaf_ids:
+                    csg_cand[g] = cand_slice[:, g - start, :]
 
     # per-ray bookkeeping for csg winners
     csg_t = []
     for e, leaf_ids, program in scene.csg_entities:
         inside_fn = _program_to_closure(program)
         ids = jnp.asarray(leaf_ids)
-        tc = cand[:, ids, :]  # [N, l, K]
+        tc = jnp.stack([csg_cand[g] for g in leaf_ids], axis=1)  # [N, l, K]
         l = len(leaf_ids)
         C = l * _a.MAX_HITS
         t_flat = tc.reshape(N, C)
