@@ -25,6 +25,7 @@ from ...compiler.scene import SpectralConfig, compile_scene
 from ...core.scenegraph.node import Observer as _SceneObserver
 from ...tracer.wavefront import RayConfig, init_rays, trace_rays
 from ...core.math import batch as vmath
+from ..spectrum import Spectrum
 
 __all__ = [
     "SpectralSlice",
@@ -117,16 +118,38 @@ class PixelProcessor:
     """Per-task sample accumulator contract (base/processor.pyx:61-72).
 
     The device path folds samples into per-tile Welford statistics on-chip
-    (ObserverBase kernels), so built-in pipelines never instantiate one;
-    the class is kept for custom pipelines written against the reference's
-    processor API: ``add_sample`` each spectrum, ``pack_results`` at task
-    end."""
+    (ObserverBase kernels), so built-in pipelines never instantiate one.
+    Custom pipelines written against the reference's processor API are
+    fully supported: a pipeline that defines ``pixel_processor(pixel_id,
+    slice_id) -> PixelProcessor`` (instead of the device-side ``project``)
+    is driven on the host — the observer pulls the traced per-sample slice
+    spectra back, calls ``add_sample(spectrum, sensitivity)`` for every
+    sample and ``pack_results()`` per pixel, then hands the packed result
+    to ``pipeline.update(pixel_id, packed, slice_id)`` (the reference loop,
+    base/observer.pyx:363-419)."""
 
     def add_sample(self, spectrum, sensitivity):
         raise NotImplementedError
 
     def pack_results(self):
         raise NotImplementedError
+
+
+def _uses_pixel_processor(pipe):
+    """True for pipelines driven through the reference PixelProcessor API
+    (they define ``pixel_processor`` and rely on host-side sample folding)."""
+    return callable(getattr(pipe, "pixel_processor", None))
+
+
+@jax.jit
+def _reduce_samples(proj):
+    """Per-pixel (sum, sum-of-squares) over the sample axis, on device.
+
+    proj is [T, S, C] per-sample channel projections; returns two [T, C]
+    arrays. Keeping this on device means only the reduced sums ever cross
+    the host boundary (the reference reduces per-sample spectra inside the
+    worker process for the same reason, base/processor.pyx:61-72)."""
+    return proj.sum(axis=1), (proj * proj).sum(axis=1)
 
 
 def _slice_spectrum(min_wavelength, max_wavelength, bins, rays):
@@ -334,6 +357,10 @@ class ObserverBase(_SceneObserver):
 
         shape = self._pixel_shape
         self._initialise_pipelines(shape, slices)
+        # split device pipelines (jit-projected) from reference-API custom
+        # pipelines driven through PixelProcessor on the host
+        self._dev_pipes = [p for p in self.pipelines if not _uses_pixel_processor(p)]
+        self._proc_pipes = [p for p in self.pipelines if _uses_pixel_processor(p)]
 
         tasks = np.asarray(self._generate_tasks(), dtype=np.int64)
         if tasks.size == 0:
@@ -385,8 +412,14 @@ class ObserverBase(_SceneObserver):
             pxj, pyj = jnp.asarray(px), jnp.asarray(py)
 
             # accumulate per-pixel (sum, sum-of-squares) over sample chunks;
-            # per chunk, slices sum into the full per-sample spectrum first
+            # per chunk, slices sum into the full per-sample spectrum first.
+            # Reductions stay ON DEVICE ([T, S, C] never crosses to host —
+            # only the [T, C] sums do, once per tile) and segment counters
+            # stay device scalars so XLA queues every chunk kernel without a
+            # host sync in between.
             acc_sum = acc_sq = None
+            seg_acc = []
+            proc_spectra = [[] for _ in slices]  # host per-slice sample spectra
             for c_idx, s_chunk in enumerate(sample_chunks):
                 proj_sums = None
                 for s_idx, (slice_, scene) in enumerate(zip(slices, scenes)):
@@ -395,8 +428,12 @@ class ObserverBase(_SceneObserver):
                         s_chunk,
                         jax.random.fold_in(tile_key, c_idx * 8191 + s_idx),
                     )
-                    projections, segments = out
-                    self._stats_rays += int(segments)
+                    if self._proc_pipes:
+                        projections, spectra, segments = out
+                        proc_spectra[s_idx].append(np.asarray(spectra))
+                    else:
+                        projections, segments = out
+                    seg_acc.append(segments)
                     # each pipeline projects to its FULL channel count
                     # (spectral pipelines zero-fill outside the slice), so
                     # slices just sum
@@ -409,12 +446,35 @@ class ObserverBase(_SceneObserver):
                     acc_sum = [0.0] * len(proj_sums)
                     acc_sq = [0.0] * len(proj_sums)
                 for i, proj in enumerate(proj_sums):
-                    vals = np.asarray(proj, dtype=np.float64)  # [T, S, C]
-                    acc_sum[i] = acc_sum[i] + vals.sum(axis=1)
-                    acc_sq[i] = acc_sq[i] + (vals * vals).sum(axis=1)
+                    s1, s2 = _reduce_samples(proj)  # device [T, C] pair
+                    acc_sum[i] = acc_sum[i] + s1
+                    acc_sq[i] = acc_sq[i] + s2
+            self._stats_rays += int(sum(int(s) for s in seg_acc))
+
+            # reference-API custom pipelines: drive PixelProcessor per pixel
+            # per slice with the full sample set (base/observer.pyx:363-419)
+            if self._proc_pipes:
+                sens_np = np.asarray(sens)
+                for s_idx, slice_ in enumerate(slices):
+                    sp = np.concatenate(proc_spectra[s_idx], axis=1)  # [T, spp, b]
+                    for pipe in self._proc_pipes:
+                        for t in range(sp.shape[0]):
+                            if not valid[t]:
+                                continue
+                            proc = pipe.pixel_processor(int(flat_ids[t]), s_idx)
+                            for s in range(sp.shape[1]):
+                                spec = Spectrum(
+                                    slice_.min_wavelength, slice_.max_wavelength,
+                                    slice_.bins,
+                                    samples=sp[t, s].astype(np.float64),
+                                )
+                                proc.add_sample(spec, float(sens_np[t]))
+                            pipe.update(int(flat_ids[t]), proc.pack_results(), s_idx)
 
             # fold per-pixel statistics into the pipelines
-            for pipe, v_sum, v_sq in zip(self.pipelines, acc_sum, acc_sq):
+            for pipe, v_sum, v_sq in zip(self._dev_pipes, acc_sum, acc_sq):
+                v_sum = np.asarray(v_sum, dtype=np.float64)
+                v_sq = np.asarray(v_sq, dtype=np.float64)
                 mean = v_sum / spp
                 m2 = v_sq - spp * mean * mean
                 np.maximum(m2, 0.0, out=m2)  # guard f.p. cancellation
@@ -438,7 +498,8 @@ class ObserverBase(_SceneObserver):
         projection_constants), so a 32-spectral-ray dispersion render costs
         at most two compiles (slices can differ by one bin), not 32
         (reference semantics base/observer.pyx:311-340 with XLA reuse)."""
-        projections = tuple(self.pipelines)
+        projections = tuple(getattr(self, "_dev_pipes", self.pipelines))
+        want_spectra = bool(getattr(self, "_proc_pipes", ()))
         bins = slice_.bins
 
         def kernel(scene, px, py, sensitivity, cam_to_world, key, consts):
@@ -456,12 +517,14 @@ class ObserverBase(_SceneObserver):
                 pipe.project(spectra, c, sensitivity, px, py)
                 for pipe, c in zip(projections, consts)
             )
+            if want_spectra:
+                return outs, spectra, final.segments
             return outs, final.segments
 
         if not hasattr(self, "_kernel_cache"):
             self._kernel_cache = {}
         cache_key = (id(type(self)), bins, self._spectral_bins, spp, cfg,
-                     tuple(id(p) for p in self.pipelines),
+                     tuple(id(p) for p in projections), want_spectra,
                      self._kernel_cache_extra())
         fn = self._kernel_cache.get(cache_key)
         if fn is None:
