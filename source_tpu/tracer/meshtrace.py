@@ -113,12 +113,160 @@ def mesh_intersect(mesh: MeshTables, origin, direction, t_min, t_max=None):
     if t_max is not None:
         return _mesh_intersect_xla(mesh, origin, direction, t_min, t_max)
     if (
+        mesh.triangles.shape[0] <= DENSE_TRI_LIMIT
+        and jax.default_backend() == "tpu"
+        and os.environ.get("SOURCE_TPU_NO_DENSE", "") != "1"
+    ):
+        return _mesh_intersect_dense(mesh, origin, direction, t_min)
+    if (
         mesh.packed is not None
         and jax.default_backend() == "tpu"
         and os.environ.get("SOURCE_TPU_NO_PALLAS", "") != "1"
     ):
         return _mesh_intersect_packet(mesh, origin, direction, t_min)
     return _mesh_intersect_xla_diff(mesh, origin, direction, t_min)
+
+
+# Below this triangle count the all-pairs MXU formulation beats BVH packet
+# traversal. Measured on v5e (131k incoherent rays): M=320 dense 15.9 ms vs
+# packet 22.1; M=1280 24.8 vs 42.4; M=5120 51.0 vs 72.7; M=20480 157 vs 101
+# — crossover ~10k tris, where the [N, 4*chunk] matmul output HBM traffic
+# overtakes the packet walk.
+DENSE_TRI_LIMIT = 8192
+_DENSE_CHUNK = 512
+
+
+def _mesh_intersect_dense(mesh: MeshTables, origin, direction, t_min,
+                          tol=1e-6):
+    """All-pairs Möller–Trumbore on the MXU — no BVH, no gathers.
+
+    TPU-first redesign of the small-mesh hot path: solving
+    ``o + t d = a + u e1 + v e2`` by Cramer's rule expands (Plücker style)
+    into terms bilinear in per-RAY vectors (c = o x d, d, o, 1) and per-
+    TRIANGLE vectors, so the numerators and determinant for EVERY
+    (ray, triangle) pair are ONE matmul ``[N, 10] @ [10, 4M]``:
+
+        u_num = c.e2 + d.(a x e2)          (u = u_num / D)
+        v_num = d.(e1 x a) - c.e1          (v = v_num / D)
+        D     = -(d.n)          n = e1 x e2  (front face: D > 0)
+        t_num = o.n - a.n                  (t = t_num / D)
+
+    which matches the classic formulation exactly (same det/u/v/t as
+    `_tri_test`, reference mesh.pyx:616-713 semantics with the f32 epsilon
+    strategy). Triangles stream through the MXU in chunks; a one-hot
+    first-minimum fold keeps the winner. Everything is plain jnp, so the
+    render gradient flows through the winning triangle's system natively —
+    no custom VJP. f32 precision is forced on the MXU (HIGHEST): geometry
+    must not drop to bf16.
+    """
+    verts = mesh.vertices
+    tris = mesh.triangles
+    N = origin.shape[0]
+    M = tris.shape[0]
+    a = verts[tris[:, 0]]
+    b = verts[tris[:, 1]]
+    c3 = verts[tris[:, 2]]
+    e1 = b - a
+    e2 = c3 - a
+    n = jnp.cross(e1, e2)
+    m1 = jnp.cross(e1, a)
+    m2 = jnp.cross(a, e2)
+    k = jnp.sum(n * a, axis=-1)
+    zeros = jnp.zeros_like(n)
+    zk = jnp.zeros_like(k)
+    # per-triangle table [10, 4, M]: rows 0-2 pair with c = o x d,
+    # rows 3-5 with d, rows 6-8 with o, row 9 with the constant 1
+    tbl = jnp.stack([
+        jnp.stack([e2[:, 0], -e1[:, 0], zk, zk], axis=0),
+        jnp.stack([e2[:, 1], -e1[:, 1], zk, zk], axis=0),
+        jnp.stack([e2[:, 2], -e1[:, 2], zk, zk], axis=0),
+        jnp.stack([m2[:, 0], m1[:, 0], -n[:, 0], zk], axis=0),
+        jnp.stack([m2[:, 1], m1[:, 1], -n[:, 1], zk], axis=0),
+        jnp.stack([m2[:, 2], m1[:, 2], -n[:, 2], zk], axis=0),
+        jnp.stack([zk, zk, zk, n[:, 0]], axis=0),
+        jnp.stack([zk, zk, zk, n[:, 1]], axis=0),
+        jnp.stack([zk, zk, zk, n[:, 2]], axis=0),
+        jnp.stack([zk, zk, zk, -k], axis=0),
+    ], axis=0)  # [10, 4, M]
+
+    mc = min(_DENSE_CHUNK, max(128, M))
+    pad = (-M) % mc
+    if pad:
+        tbl = jnp.pad(tbl, ((0, 0), (0, 0), (0, pad)))  # zero tri -> D=0
+    n_chunks = (M + pad) // mc
+    tbl = tbl.reshape(10, 4, n_chunks, mc).transpose(2, 0, 1, 3)  # [nc,10,4,mc]
+    bases = jnp.arange(n_chunks, dtype=jnp.int32) * mc
+
+    cvec = jnp.cross(origin, direction)
+    W = jnp.concatenate(
+        [cvec, direction, origin, jnp.ones((N, 1), origin.dtype)], axis=-1
+    )  # [N, 10]
+    t_min_col = t_min[:, None]
+
+    def body(carry, xs):
+        # carry holds ONLY (t_best, tri_best): u/v/front are recomputed for
+        # the single winning triangle afterwards, keeping the per-chunk
+        # epilogue to two reductions (min + argmin, no one-hot/cumsum)
+        t_best, tri_best = carry
+        chunk, base = xs
+        out = jax.lax.dot_general(
+            W, chunk.reshape(10, 4 * mc), (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+        ).reshape(N, 4, mc)
+        u_num = out[:, 0]
+        v_num = out[:, 1]
+        D = out[:, 2]
+        t_num = out[:, 3]
+        # sign-aware tests multiplied through by |D| (avoids the divide and
+        # the separate u/v arrays; equivalent to u >= -tol etc. for D != 0)
+        s = jnp.sign(D)
+        absD = jnp.abs(D)
+        ok = absD > 1e-12
+        us = u_num * s
+        vs = v_num * s
+        ts = t_num * s
+        valid = (ok & (us >= -tol * absD) & (vs >= -tol * absD)
+                 & (us + vs <= (1.0 + tol) * absD) & (ts > t_min_col * absD))
+        t = ts / jnp.where(ok, absD, 1.0)
+        t_val = jnp.where(valid, t, _INF)
+        t_c = jnp.min(t_val, axis=-1)
+        i_c = jnp.argmin(t_val, axis=-1).astype(jnp.int32)
+        better = t_c < t_best
+        t_best = jnp.where(better, t_c, t_best)
+        tri_best = jnp.where(better, base + i_c, tri_best)
+        return (t_best, tri_best), None
+
+    init = (
+        jnp.full((N,), _INF, origin.dtype),
+        jnp.full((N,), -1, jnp.int32),
+    )
+    if n_chunks == 1:
+        (t_b, tri_b), _ = body(init, (tbl[0], bases[0]))
+    else:
+        (t_b, tri_b), _ = jax.lax.scan(body, init, (tbl, bases))
+
+    # winner-only recompute: one [N]-row gather of the winning triangle,
+    # then the classic per-pair test for exact u/v/front (and a t that is
+    # differentiable w.r.t. vertices through the winning system only — the
+    # argmin selection is piecewise constant, same argument as the packet
+    # kernel's custom VJP)
+    hit = tri_b >= 0
+    tw = jnp.clip(tri_b, 0, M - 1)
+    trin = tris[tw]
+    w0 = verts[trin[:, 0]]
+    w1 = verts[trin[:, 1]]
+    w2 = verts[trin[:, 2]]
+    t_r, u_r, v_r, front_r, valid_r = _tri_test(
+        w0, w1, w2, origin, direction, t_min, tol=tol
+    )
+    t_out = jnp.where(hit & valid_r, t_r, jnp.where(hit, t_b, _INF))
+    return {
+        "t": jnp.where(hit, t_out, _INF),
+        "tri": tri_b,
+        "u": jnp.where(hit, u_r, 0.0),
+        "v": jnp.where(hit, v_r, 0.0),
+        "front": hit & front_r,
+    }
 
 
 def _mesh_intersect_xla(mesh: MeshTables, origin, direction, t_min, t_max=None):
