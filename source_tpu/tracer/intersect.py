@@ -22,6 +22,7 @@ Float32 epsilon strategy: the reference uses 1e-9 absolute offsets in f64
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Any
 
 import jax
@@ -30,7 +31,9 @@ import jax.numpy as jnp
 from ..core.math import batch as vmath
 from ..primitive import analytic as _a
 from ..compiler.scene import CompiledScene, _program_to_closure
-from .meshtrace import mesh_intersect
+from .meshtrace import (
+    DENSE_TRI_LIMIT, mesh_forest_intersect, mesh_intersect,
+)
 
 __all__ = ["HitRecord", "intersect_scene", "leaf_candidates", "leaf_contains", "entity_contains", "T_EPS"]
 
@@ -263,10 +266,34 @@ def intersect_scene(scene: CompiledScene, origin, direction, t_min_scale=None):
         csg_t.append((e, bt, bleaf, binside))
 
     # mesh entities: stackless BVH traversal in each mesh's local frame
-    # (direction deliberately NOT renormalised so t shares world units)
+    # (direction deliberately NOT renormalised so t shares world units).
+    # On TPU, ALL dense-eligible meshes merge into ONE world-space forest
+    # call (mesh_forest_intersect): the per-mesh ray transforms fold into
+    # the per-triangle tables and the union streams through the MXU once.
     mesh_win = []
+    forest = []
+    singles = []
+    use_forest = (
+        jax.default_backend() == "tpu"
+        and os.environ.get("SOURCE_TPU_NO_DENSE", "") != "1"
+    )
     for e, slot in scene.mesh_entities:
         mesh = scene.meshes[slot]
+        if use_forest and mesh.triangles.shape[0] <= DENSE_TRI_LIMIT:
+            forest.append((e, slot, mesh))
+        else:
+            singles.append((e, slot, mesh))
+    if len(forest) == 1:  # no fan-in to amortise; single-mesh path is equal
+        singles.insert(0, forest.pop())
+    if forest:
+        results = mesh_forest_intersect(
+            [m for _, _, m in forest], origin, direction, eps
+        )
+        for (e, slot, _), res in zip(forest, results):
+            t_entity = t_entity.at[:, e].set(
+                jnp.where(res["tri"] >= 0, res["t"], _INF))
+            mesh_win.append((e, slot, res))
+    for e, slot, mesh in singles:
         o_loc = vmath.transform_point(mesh.w2l[None], origin)
         d_loc = vmath.transform_vector(mesh.w2l[None], direction)
         res = mesh_intersect(mesh, o_loc, d_loc, eps)

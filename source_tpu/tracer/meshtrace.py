@@ -30,7 +30,8 @@ import jax.numpy as jnp
 
 from ..core.math import batch as vmath
 
-__all__ = ["MeshTables", "mesh_intersect", "mesh_hit_count"]
+__all__ = ["MeshTables", "mesh_intersect", "mesh_forest_intersect",
+           "mesh_hit_count"]
 
 _INF = jnp.inf
 
@@ -161,11 +162,17 @@ def _mesh_intersect_dense(mesh: MeshTables, origin, direction, t_min,
     """
     verts = mesh.vertices
     tris = mesh.triangles
+    return _dense_core(
+        verts[tris[:, 0]], verts[tris[:, 1]], verts[tris[:, 2]],
+        origin, direction, t_min, tol=tol,
+    )
+
+
+def _dense_core(a, b, c3, origin, direction, t_min, tol=1e-6):
+    """All-pairs dense intersection over explicit triangle vertex arrays
+    [M,3] (any space — the caller picks local or world coordinates)."""
     N = origin.shape[0]
-    M = tris.shape[0]
-    a = verts[tris[:, 0]]
-    b = verts[tris[:, 1]]
-    c3 = verts[tris[:, 2]]
+    M = a.shape[0]
     e1 = b - a
     e2 = c3 - a
     n = jnp.cross(e1, e2)
@@ -252,12 +259,8 @@ def _mesh_intersect_dense(mesh: MeshTables, origin, direction, t_min,
     # kernel's custom VJP)
     hit = tri_b >= 0
     tw = jnp.clip(tri_b, 0, M - 1)
-    trin = tris[tw]
-    w0 = verts[trin[:, 0]]
-    w1 = verts[trin[:, 1]]
-    w2 = verts[trin[:, 2]]
     t_r, u_r, v_r, front_r, valid_r = _tri_test(
-        w0, w1, w2, origin, direction, t_min, tol=tol
+        a[tw], b[tw], c3[tw], origin, direction, t_min, tol=tol
     )
     t_out = jnp.where(hit & valid_r, t_r, jnp.where(hit, t_b, _INF))
     return {
@@ -267,6 +270,47 @@ def _mesh_intersect_dense(mesh: MeshTables, origin, direction, t_min,
         "v": jnp.where(hit, v_r, 0.0),
         "front": hit & front_r,
     }
+
+
+def mesh_forest_intersect(meshes, origin, direction, t_min, tol=1e-6):
+    """Intersect WORLD-space rays against several small meshes in ONE dense
+    call: each mesh's triangles are transformed to world space (folding the
+    per-mesh w2l ray transform into the per-triangle table instead), the
+    tables concatenate, and `_dense_core` streams the union through the
+    MXU. Returns one per-mesh result dict (same contract as mesh_intersect,
+    page-local triangle ids) so callers can keep per-entity attribution.
+
+    Mirrored instance transforms (det(l2w) < 0) flip the triangle winding
+    in world space; the returned ``front`` flag is corrected per mesh so it
+    matches the local-space convention (mesh.pyx:718-804).
+    """
+    v0s, v1s, v2s, flips, sizes = [], [], [], [], []
+    for mesh in meshes:
+        tris = mesh.triangles
+        l2w = mesh.l2w
+        v0s.append(vmath.transform_point(l2w[None], mesh.vertices[tris[:, 0]]))
+        v1s.append(vmath.transform_point(l2w[None], mesh.vertices[tris[:, 1]]))
+        v2s.append(vmath.transform_point(l2w[None], mesh.vertices[tris[:, 2]]))
+        flips.append(jnp.linalg.det(l2w[:3, :3]) < 0)
+        sizes.append(tris.shape[0])
+    res = _dense_core(
+        jnp.concatenate(v0s), jnp.concatenate(v1s), jnp.concatenate(v2s),
+        origin, direction, t_min, tol=tol,
+    )
+    out = []
+    off = 0
+    for mesh, size, flip in zip(meshes, sizes, flips):
+        mine = (res["tri"] >= off) & (res["tri"] < off + size)
+        front = jnp.where(flip, ~res["front"], res["front"])
+        out.append({
+            "t": jnp.where(mine, res["t"], _INF),
+            "tri": jnp.where(mine, res["tri"] - off, -1),
+            "u": jnp.where(mine, res["u"], 0.0),
+            "v": jnp.where(mine, res["v"], 0.0),
+            "front": mine & front,
+        })
+        off += size
+    return out
 
 
 def _mesh_intersect_xla(mesh: MeshTables, origin, direction, t_min, t_max=None):

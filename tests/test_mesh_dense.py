@@ -85,6 +85,50 @@ def test_dense_respects_t_min():
             np.asarray(first["t"])[m & hit2]).all()
 
 
+def test_forest_matches_per_mesh():
+    """One merged world-space forest call must agree with per-mesh local
+    traversal, including a mirrored (negative-determinant) instance."""
+    import jax.numpy as jnp
+    from source_tpu.core.math import batch as vmath
+    from source_tpu.tracer.meshtrace import mesh_forest_intersect
+    import dataclasses
+
+    verts, faces = _icosahedron()
+    md = MeshData(verts, faces, smoothing=False)
+
+    def frames(mat):
+        w2l = np.linalg.inv(mat).astype(np.float32)
+        return w2l, mat.astype(np.float32)
+
+    t1 = np.eye(4); t1[:3, 3] = [1.5, 0.0, 0.0]
+    t2 = np.eye(4); t2[:3, 3] = [-1.5, 0.2, 0.1]
+    t2[0, 0] = -1.0  # mirrored instance
+    meshes = [md.to_tables(*frames(t)) for t in (t1, t2)]
+
+    o, d = _rays(1024, seed=11)
+    t_min = jnp.zeros(1024, jnp.float32)
+    forest = mesh_forest_intersect(meshes, o, d, t_min)
+
+    for mesh, got in zip(meshes, forest):
+        o_loc = vmath.transform_point(mesh.w2l[None], o)
+        d_loc = vmath.transform_vector(mesh.w2l[None], d)
+        ref = _mesh_intersect_xla_diff(mesh, o_loc, d_loc, t_min)
+        # attribution: the forest assigns each ray to the globally nearest
+        # mesh, so compare only where this mesh wins or both miss
+        hit_ref = np.asarray(ref["tri"] >= 0)
+        hit_got = np.asarray(got["tri"] >= 0)
+        m = hit_got  # forest claims this mesh won
+        assert hit_ref[m].all()  # every claimed win is a real local hit
+        np.testing.assert_allclose(
+            np.asarray(got["t"])[m], np.asarray(ref["t"])[m],
+            rtol=5e-4, atol=5e-4,
+        )
+        same = np.asarray(got["tri"])[m] == np.asarray(ref["tri"])[m]
+        assert same.mean() > 0.99
+        assert (np.asarray(got["front"])[m][same]
+                == np.asarray(ref["front"])[m][same]).all()
+
+
 def test_dense_gradients_flow_to_vertices():
     mesh = _tables()
     o, d = _rays(128, seed=7)
