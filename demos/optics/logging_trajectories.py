@@ -34,6 +34,13 @@ def main():
         pts = " -> ".join(f"({v[0]*1e3:+.2f}, {v[2]*1e3:+.2f})mm"
                           for v in ray.path_vertices)
         print(f"  h={h*1e3:+.1f}mm: {pts}")
+        # full per-vertex records (reference loggingray.pyx Intersections)
+        recs = " ".join(
+            f"[mat={r['material']} exit={int(r['exiting'])}"
+            f" nz={r['normal'][2]:+.2f}]"
+            for r in ray.path_intersections
+        )
+        print(f"           {recs}")
 
     try:
         import matplotlib

@@ -72,6 +72,11 @@ class CompiledScene:
     # entities
     leaf_entity: Any  # i32[L] owning entity of each leaf
     entity_material: Any  # i32[E]
+    # world->entity-local frame for EVERY entity (the primitive's own frame;
+    # for a CSG solid this is the CSG node's transform, NOT any child leaf's
+    # — reference optical/ray.pyx:441-453 hands each primitive its own
+    # w2p/p2w to volume integration)
+    entity_w2l: Any  # f32[E,4,4]
     # materials
     mat_params: Any  # f32[M,NPARAMS]
     mat_spectra: Any  # f32[M,NSLOTS,B]
@@ -293,15 +298,34 @@ def compile_scene(world: World, spectral: SpectralConfig, dtype=jnp.float32) -> 
 
     # volume-active entities (static unrolled loop in the tracer); the
     # inhomogeneous kind carries its material object (emission closure +
-    # integrator) and the entity's local frame source
+    # integrator) plus a STATIC trapezoid interval count derived from the
+    # reference's step rule (emitter/inhomogeneous.pyx:135-139:
+    # intervals = max(min_samples-1, floor(length/step))) evaluated at the
+    # compile-time chord bound — the entity's bounding-sphere diameter.
+    # max_samples caps the static unroll (jit needs a fixed count; the
+    # reference's count is data-dependent).
     volume_entities = []
     mesh_slot_of_entity = {e: slot for slot, (e, _) in enumerate(mesh_prims)}
+    import math as _math
     for e, prim in enumerate(entities):
         mat = materials[entity_material[e]]
         if mat.VOLUME_KIND != VOL_NONE:
+            intervals = 1
+            inner = mat
+            while not hasattr(inner, "integrator") and hasattr(inner, "material"):
+                inner = inner.material
+            integ = getattr(inner, "integrator", None)
+            if integ is not None:
+                _, radius = prim.bounding_sphere()
+                intervals = int(min(
+                    max(integ.min_samples - 1,
+                        _math.ceil(2.0 * float(radius) / integ.step)),
+                    max(integ.max_samples - 1, integ.min_samples - 1),
+                ))
             volume_entities.append((
                 e, entity_material[e], mat.VOLUME_KIND, mat,
                 simple_leaf_of_entity[e], mesh_slot_of_entity.get(e, -1),
+                intervals,
             ))
 
     # --- meshes (shared MeshData -> per-instance MeshTables) -----------------------
@@ -344,6 +368,12 @@ def compile_scene(world: World, spectral: SpectralConfig, dtype=jnp.float32) -> 
         leaf_params=jnp.asarray(params, dtype),
         leaf_entity=jnp.asarray(leaf_entity, jnp.int32),
         entity_material=jnp.asarray(entity_material, jnp.int32),
+        entity_w2l=jnp.asarray(
+            np.stack([
+                p.to_root().inverse().to_array(np.float64) for p in entities
+            ]),
+            dtype,
+        ),
         mat_params=jnp.asarray(mat_params, dtype),
         mat_spectra=jnp.asarray(mat_spectra, dtype),
         mat_scalars=jnp.asarray(mat_scalars, dtype),

@@ -38,12 +38,19 @@ class LoggingRay:
         self.seed = int(seed)
         self.log = None
         self.path_vertices = []
+        self.path_intersections = []
 
     def trace(self, world):
         """Trace through the world, recording the trajectory. Returns the
-        per-bin spectrum of the traced path."""
+        per-bin spectrum of the traced path. Afterwards ``path_vertices``
+        holds the geometric polyline and ``path_intersections`` the full
+        per-vertex records — entity/material ids, world normal, exiting
+        flag, throughput at the segment start — mirroring the reference's
+        stored Intersection objects (loggingray.pyx:45-202)."""
         from ..compiler.scene import SpectralConfig, compile_scene
-        from ..tracer.wavefront import RayConfig, init_rays, trace_rays_logged
+        from ..tracer.wavefront import (
+            RayConfig, init_rays, reconstruct_trajectories, trace_rays_logged,
+        )
 
         scene = compile_scene(
             world, SpectralConfig(self.min_wavelength, self.max_wavelength, self.bins)
@@ -59,21 +66,10 @@ class LoggingRay:
         final, log = trace_rays_logged(
             scene, cfg, state, jax.random.PRNGKey(self.seed)
         )
-        alive = np.asarray(log["alive"])[:, 0]
-        hits = np.asarray(log["hit_point"])[:, 0]
-        origins = np.asarray(log["origin"])[:, 0]
-        entities = np.asarray(log["entity"])[:, 0]
-        ts = np.asarray(log["t"])[:, 0]
-        self.log = {
-            "origin": origins, "hit_point": hits, "entity": entities,
-            "t": ts, "alive": alive,
-        }
+        self.log = {k: np.asarray(v)[:, 0] for k, v in log.items()}
+        self.path_intersections = reconstruct_trajectories(log)[0]
         # path vertices: launch point + every recorded hit while alive
-        verts = [origins[0]]
-        for i in range(hits.shape[0]):
-            if alive[i] and np.isfinite(ts[i]):
-                verts.append(hits[i])
-            if not alive[i]:
-                break
+        verts = [self.log["origin"][0]]
+        verts += [rec["hit_point"] for rec in self.path_intersections]
         self.path_vertices = [tuple(map(float, v)) for v in verts]
         return np.asarray(final.radiance)[0]

@@ -48,7 +48,7 @@ from ..optical.material.base import (
 from .intersect import HitRecord, entity_contains, intersect_scene
 
 __all__ = ["RayConfig", "RayState", "init_rays", "trace_rays", "trace_rays_diff",
-           "trace_rays_logged"]
+           "trace_rays_logged", "reconstruct_trajectories"]
 
 _INF = jnp.inf
 _PI = jnp.pi
@@ -277,8 +277,9 @@ def _surface_interaction(scene: CompiledScene, cfg: RayConfig, state: RayState,
     if MAT_CHECKERBOARD in present:
         m = mat_types == MAT_CHECKERBOARD
         width = jnp.maximum(params[:, 0], 1e-12)
-        # local-space checker parity (checkerboard.pyx:39)
-        w2l = vmath.select_rows(scene.leaf_w2l, rec.leaf)
+        # checker parity in the ENTITY's local space (checkerboard.pyx:39 —
+        # the pattern frame is the primitive's own, not a CSG child leaf's)
+        w2l = vmath.select_rows(scene.entity_w2l, jnp.maximum(rec.entity, 0))
         p_loc = vmath.transform_point(w2l, rec.point)
         cells = jnp.floor(p_loc / width[:, None]).astype(jnp.int32)
         parity = (cells[:, 0] + cells[:, 1] + cells[:, 2]) % 2 == 0
@@ -521,7 +522,7 @@ def _volume_interaction(scene: CompiledScene, state: RayState, rec: HitRecord):
     inside = entity_contains(scene, midpoint)  # [N, E]
     throughput = state.throughput
     emission = jnp.zeros_like(state.radiance)
-    for e, mat_idx, kind, mat_obj, leaf_idx, mesh_slot in scene.volume_entities:
+    for e, mat_idx, kind, mat_obj, leaf_idx, mesh_slot, intervals in scene.volume_entities:
         m = inside[:, e] & rec.hit
         spec = scene.mat_spectra[mat_idx]  # [NSLOTS, B]
         if kind == VOL_BEER:
@@ -536,22 +537,21 @@ def _volume_interaction(scene: CompiledScene, state: RayState, rec: HitRecord):
                 m[:, None], spec[0][None, :] * t_seg[:, None], 0.0
             )
         elif kind == VOL_INHOMOGENEOUS:
-            # fixed-count midpoint-rule ray march of the emission closure in
-            # the primitive's local frame (emitter/inhomogeneous.pyx:108-177;
-            # the reference's adaptive step count must be static under jit)
+            # trapezoid-rule ray march of the emission closure in the
+            # ENTITY's own local frame (emitter/inhomogeneous.pyx:108-177).
+            # ``intervals`` is static, derived at scene-compile time from
+            # the reference's step rule at the chord upper bound; each
+            # segment is sampled at intervals+1 equally spaced points
+            # including both endpoints (the reference adjusts its step to
+            # absorb the remainder the same way, :139).
             # unwrap delegating modifiers (VolumeTransform) to the emitter
             inner = mat_obj
             while not hasattr(inner, "integrator") and hasattr(inner, "material"):
                 inner = inner.material
-            steps = inner.integrator.max_samples
-            if mesh_slot >= 0:
-                w2l_m = scene.meshes[mesh_slot].w2l
-            elif leaf_idx >= 0:
-                w2l_m = scene.leaf_w2l[leaf_idx]
-            else:  # CSG entity: use its first leaf's frame
-                w2l_m = scene.leaf_w2l[0]
+            w2l_m = scene.entity_w2l[e]
             frame_extra = getattr(mat_obj, "volume_frame_matrix", None)
-            ts = (jnp.arange(steps, dtype=t_seg.dtype) + 0.5) / steps
+            S = intervals + 1
+            ts = jnp.arange(S, dtype=t_seg.dtype) / intervals  # 0..1 incl.
             pts = (
                 state.origin[:, None, :]
                 + (ts[None, :] * t_seg[:, None])[..., None]
@@ -563,11 +563,18 @@ def _volume_interaction(scene: CompiledScene, state: RayState, rec: HitRecord):
                 fm = jnp.asarray(frame_extra(), p_loc.dtype)
                 p_loc = vmath.transform_point(fm[None, None], p_loc)
                 d_loc = vmath.transform_vector(fm[None], d_loc)
+            # local-space integration measure (reference integrates the
+            # local-frame length; differs from t_seg under scaling)
+            d_norm = jnp.sqrt(jnp.maximum(vmath.dot(d_loc, d_loc), 1e-24))
+            local_len = t_seg * d_norm
+            d_unit = d_loc / d_norm[:, None]
             lam = scene.wavelengths.astype(t_seg.dtype)  # traced bin centres
-            dens = inner.emission_function(p_loc, d_loc[:, None, :], lam)  # [N, S, B]
-            emission = emission + jnp.where(
-                m[:, None], jnp.mean(dens, axis=1) * t_seg[:, None], 0.0
+            dens = inner.emission_function(p_loc, d_unit[:, None, :], lam)  # [N, S, B]
+            w_trap = jnp.full((S,), 1.0, dens.dtype).at[0].set(0.5).at[-1].set(0.5)
+            integral = (local_len / intervals)[:, None] * jnp.sum(
+                dens * w_trap[None, :, None], axis=1
             )
+            emission = emission + jnp.where(m[:, None], integral, 0.0)
     return throughput, emission
 
 
@@ -792,17 +799,29 @@ def trace_rays_diff(scene: CompiledScene, cfg: RayConfig, state: RayState, key):
 
 def trace_rays_logged(scene: CompiledScene, cfg: RayConfig, state: RayState, key):
     """Path-logging variant (reference LoggingRay, optical/loggingray.pyx:45):
-    a fixed-length scan that records, per bounce, the hit point, entity id,
-    hit flag and segment start for every ray. Returns (final_state, log)
-    where log is a dict of [max_iters, N, ...] arrays."""
+    a fixed-length scan that records, per bounce, the full intersection
+    record for every ray — hit point, entity and material id, world normal,
+    exiting flag, path throughput at the segment start and the segment
+    length (the reference stores per-vertex Intersection objects,
+    loggingray.pyx:45-202). Returns (final_state, log) where log is a dict
+    of [max_iters, N, ...] arrays. Use ``reconstruct_trajectories`` to turn
+    the SoA log into per-ray vertex lists on the host."""
 
     def body(st, i):
         rec = intersect_scene(scene, st.origin, st.direction)
         nxt = trace_step(scene, cfg, st, jax.random.fold_in(key, i))
+        valid = st.alive & rec.hit
+        mat_id = vmath.select_rows(
+            scene.entity_material, jnp.maximum(rec.entity, 0)
+        )
         entry = {
             "origin": st.origin,
             "hit_point": rec.point,
-            "entity": jnp.where(st.alive & rec.hit, rec.entity, -1),
+            "entity": jnp.where(valid, rec.entity, -1),
+            "material": jnp.where(valid, mat_id, -1),
+            "normal": rec.normal,
+            "exiting": valid & rec.exiting,
+            "throughput": st.throughput,
             "alive": st.alive,
             "t": jnp.where(rec.hit, rec.t, jnp.inf),
         }
@@ -810,3 +829,29 @@ def trace_rays_logged(scene: CompiledScene, cfg: RayConfig, state: RayState, key
 
     final, log = jax.lax.scan(body, state, jnp.arange(cfg.max_iters))
     return final, log
+
+
+def reconstruct_trajectories(log):
+    """Host helper: turn a ``trace_rays_logged`` SoA log into per-ray
+    trajectories (the reference's LoggingRay.path_vertices list of
+    Intersection objects, loggingray.pyx:45-202).
+
+    Returns a list of N trajectories; each is a list of per-vertex dicts
+    with keys origin/hit_point/entity/material/normal/exiting/throughput/t,
+    truncated at the first dead bounce."""
+    import numpy as np
+
+    alive = np.asarray(log["alive"])  # [D, N]
+    D, N = alive.shape
+    arrays = {k: np.asarray(v) for k, v in log.items()}
+    out = []
+    for n in range(N):
+        path = []
+        for i in range(D):
+            if not alive[i, n]:
+                break
+            if not np.isfinite(arrays["t"][i, n]):
+                break
+            path.append({k: arrays[k][i, n] for k in arrays})
+        out.append(path)
+    return out

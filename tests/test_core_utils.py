@@ -96,6 +96,17 @@ def test_logging_ray():
     assert len(ray.path_vertices) >= 3
     assert abs(ray.path_vertices[1][2] - 2.0) < 1e-3
     assert ray.path_vertices[2][2] < 0
+    # full per-vertex records (loggingray.pyx:45-202 parity): entity and
+    # material ids, world normal, exiting flag, throughput per bounce
+    recs = ray.path_intersections
+    assert len(recs) == len(ray.path_vertices) - 1
+    assert recs[0]["entity"] == 1 and recs[1]["entity"] == 0
+    assert recs[0]["material"] != recs[1]["material"]
+    # mirror hit from outside: not exiting, normal faces the ray (-z)
+    assert not recs[0]["exiting"]
+    assert abs(recs[0]["normal"][2] + 1.0) < 1e-4
+    # lossless mirror: throughput at the second segment start is still 1
+    assert np.allclose(recs[1]["throughput"], 1.0, atol=1e-5)
 
 
 def test_render_engines():

@@ -1,0 +1,150 @@
+"""Closed-form estimator pins (VERDICT r2 #9): prism minimum-deviation vs
+Sellmeier, Fresnel reflectance at set angles, GGX white-furnace energy.
+These are the reference-parity proxy until a reference build exists
+(reference physics: dielectric.pyx:248-308, conductor.pyx:159-339)."""
+
+import math
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from source_tpu.compiler import SpectralConfig, compile_scene
+from source_tpu.core.math.transform import rotate_y
+from source_tpu.core.math.vector import Point3D
+from source_tpu.core.scenegraph import World
+from source_tpu.optical.loggingray import LoggingRay
+from source_tpu.optical.material import (
+    AbsorbingSurface, Dielectric, RoughConductor, Sellmeier,
+)
+from source_tpu.optical.spectrum import ConstantSF
+from source_tpu.primitive import Box, Intersect
+from source_tpu.tracer.wavefront import RayConfig, init_rays, trace_step
+
+
+def _fresnel_unpolarised(n1, n2, theta1):
+    """Reference Fresnel coefficients (dielectric.pyx:304-308)."""
+    c1 = math.cos(theta1)
+    s2 = n1 / n2 * math.sin(theta1)
+    c2 = math.sqrt(1.0 - s2 * s2)
+    r1 = (n1 * c1 - n2 * c2) / (n1 * c1 + n2 * c2)
+    r2 = (n1 * c2 - n2 * c1) / (n1 * c2 + n2 * c1)
+    return 0.5 * (r1 * r1 + r2 * r2)
+
+
+def test_fresnel_reflectance_at_angles():
+    """The dielectric's reflection-roulette probability IS the Fresnel
+    reflectance: the reflected-lane fraction over a large batch must match
+    the closed form at each incidence angle."""
+    n_glass = 1.5
+    w = World()
+    Box(lower=Point3D(-100.0, -100.0, 1.0), upper=Point3D(100.0, 100.0, 2.0),
+        parent=w,
+        material=Dielectric(ConstantSF(n_glass), ConstantSF(1.0)))
+    scene = compile_scene(w, SpectralConfig(375.0, 740.0, 4))
+    cfg = RayConfig(max_depth=4, extinction_prob=0.0, max_iters=4,
+                    importance_sampling=False)
+    N = 1 << 17
+    for i, theta_deg in enumerate((0.0, 45.0, 70.0)):
+        th = math.radians(theta_deg)
+        d = jnp.broadcast_to(
+            jnp.asarray([math.sin(th), 0.0, math.cos(th)], jnp.float32), (N, 3)
+        )
+        o = jnp.zeros((N, 3))
+        state = init_rays(o, d, scene.bins)
+        nxt = trace_step(scene, cfg, state, jax.random.PRNGKey(100 + i))
+        reflected = np.asarray(nxt.direction[:, 2] < 0.0)
+        frac = reflected.mean()
+        expected = _fresnel_unpolarised(1.0, n_glass, th)
+        sigma = math.sqrt(expected * (1.0 - expected) / N)
+        assert abs(frac - expected) < max(4.0 * sigma, 1e-3), (
+            theta_deg, frac, expected)
+
+
+def test_prism_minimum_deviation_sellmeier():
+    """Equilateral prism at minimum deviation: the exit direction must match
+    delta_min = 2*arcsin(n*sin(A/2)) - A with n the Sellmeier band-average
+    index the tracer actually uses (dielectric.pyx:176-177 semantics)."""
+    # Schott N-BK7 (same Sellmeier constants the reference's catalog carries)
+    bk7 = Sellmeier(1.03961212, 0.231792344, 1.01046945,
+                    0.00600069867, 0.0200179144, 103.560653)
+    glass = Dielectric(bk7, ConstantSF(1.0), transmission_only=True)
+    # the traced index is the band average over the render's single bin
+    lam0, lam1 = 586.0, 592.0
+    n = float(glass.compile_scalars(lam0, lam1)[0])
+    assert abs(n - 1.5168) < 2e-3  # BK7 @ 589 nm sanity
+
+    A = math.radians(60.0)
+    delta = 2.0 * math.asin(n * math.sin(0.5 * A)) - A
+
+    # wedge: apex line along y at the origin, apex angle A, glass below.
+    # face outward normals m± = (∓sin(60°), 0, cos(60°)) built from two
+    # rotated half-space boxes intersected.
+    w = World()
+    Intersect(
+        Box(lower=Point3D(-50.0, -50.0, -50.0), upper=Point3D(50.0, 50.0, 0.0),
+            transform=rotate_y(-60.0)),
+        Box(lower=Point3D(-50.0, -50.0, -50.0), upper=Point3D(50.0, 50.0, 0.0),
+            transform=rotate_y(60.0)),
+        parent=w, material=glass,
+    )
+    # screen to record the exit ray
+    Box(lower=Point3D(55.0, -60.0, -120.0), upper=Point3D(60.0, 60.0, 50.0),
+        parent=w, material=AbsorbingSurface())
+
+    # minimum-deviation entry: incident direction tilted +delta/2 above +x,
+    # aimed at face 1 one unit below the apex
+    d_in = np.asarray([math.cos(0.5 * delta), 0.0, math.sin(0.5 * delta)])
+    p1 = np.asarray([-1.0, 0.0, -math.sqrt(3.0)])  # on face 1: m1.p1 = 0
+    o = p1 - 3.0 * d_in
+    ray = LoggingRay(origin=tuple(o), direction=tuple(d_in),
+                     min_wavelength=lam0, max_wavelength=lam1, bins=1,
+                     max_depth=8)
+    ray.trace(w)
+    verts = np.asarray(ray.path_vertices)
+    assert verts.shape[0] >= 4, verts  # launch, entry, exit, screen
+    d_out = verts[3] - verts[2]
+    d_out = d_out / np.linalg.norm(d_out)
+    expected = np.asarray([math.cos(0.5 * delta), 0.0, -math.sin(0.5 * delta)])
+    assert np.allclose(d_out, expected, atol=2e-3), (d_out, expected)
+    # the inside segment runs horizontal (+x) in the symmetric configuration
+    d_mid = verts[2] - verts[1]
+    d_mid = d_mid / np.linalg.norm(d_mid)
+    assert abs(d_mid[2]) < 2e-3, d_mid
+
+
+def test_ggx_white_furnace():
+    """RoughConductor with Fresnel ~ 1 (k -> inf): the one-sample estimator's
+    mean throughput multiplier is the directional albedo — <= 1 always
+    (Smith shadowing only removes energy) and -> 1 as roughness -> 0
+    (conductor.pyx:159-339 energy behaviour)."""
+    def albedo(roughness, key):
+        w = World()
+        Box(lower=Point3D(-100.0, -100.0, 1.0),
+            upper=Point3D(100.0, 100.0, 2.0), parent=w,
+            material=RoughConductor(ConstantSF(1.0), ConstantSF(1e4),
+                                    roughness))
+        scene = compile_scene(w, SpectralConfig(375.0, 740.0, 1))
+        cfg = RayConfig(max_depth=4, extinction_prob=0.0, max_iters=4,
+                        importance_sampling=False)
+        N = 1 << 16
+        th = math.radians(45.0)
+        d = jnp.broadcast_to(
+            jnp.asarray([math.sin(th), 0.0, math.cos(th)], jnp.float32),
+            (N, 3),
+        )
+        state = init_rays(jnp.zeros((N, 3)), d, scene.bins)
+        nxt = trace_step(scene, cfg, state, jax.random.PRNGKey(key))
+        return float(np.asarray(nxt.throughput).mean())
+
+    a_smooth = albedo(0.02, 7)
+    a_mid = albedo(0.3, 8)
+    a_rough = albedo(0.8, 9)
+    tol = 0.02  # MC error at 65k samples
+    for a in (a_smooth, a_mid, a_rough):
+        assert a <= 1.0 + tol, (a_smooth, a_mid, a_rough)
+    assert a_smooth > 0.97, a_smooth
+    # energy monotonically lost to shadowing as roughness grows
+    assert a_smooth >= a_mid - tol >= a_rough - 2 * tol, (
+        a_smooth, a_mid, a_rough)
