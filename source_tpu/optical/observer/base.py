@@ -131,6 +131,20 @@ class PixelProcessor:
     def add_sample(self, spectrum, sensitivity):
         raise NotImplementedError
 
+    def add_samples(self, min_wavelength, max_wavelength, bins, samples,
+                    sensitivity):
+        """Fold a whole sample batch [S, bins] for one pixel.
+
+        Override to vectorise a custom processor (one numpy pass instead of
+        S python calls). The default drives the reference per-sample
+        contract: one host-numpy Spectrum per row through ``add_sample``
+        (no device traffic — Spectrum is numpy-backed)."""
+        for row in samples:
+            self.add_sample(
+                Spectrum(min_wavelength, max_wavelength, bins, samples=row),
+                sensitivity,
+            )
+
     def pack_results(self):
         raise NotImplementedError
 
@@ -207,10 +221,17 @@ class ObserverBase(_SceneObserver):
         # wavefront loop bound: paths longer than this are truncated; the
         # reference's recursion depth cap is ray_max_depth
         self.max_wavefront_iters = 64
-        # optional stream-compaction schedule ((steps, divisor), ...) for the
-        # wavefront loop; off by default — enable per scene after checking
-        # alive fractions (see tracer/wavefront.py)
-        self.compact_schedule = ()
+        # stream-compaction schedule for the wavefront loop:
+        #   "auto" (default) — measure the per-bounce alive profile on the
+        #     first tile of a pass and derive a conservative schedule
+        #     (4x headroom, see tracer/wavefront.schedule_from_profile);
+        #     falls back to no compaction under a sharded render engine
+        #     (the alive-first sort would become a cross-device collective);
+        #   ()       — off;
+        #   ((steps, divisor), ...) — explicit stages.
+        # Overflowed stages reweight (unbiased); the overflow counter is
+        # surfaced in the render statistics.
+        self.compact_schedule = "auto"
 
         self._stats_start = None
         self._stats_rays = 0
@@ -332,7 +353,7 @@ class ObserverBase(_SceneObserver):
 
     # --- observe -------------------------------------------------------------------
 
-    def _ray_config(self):
+    def _ray_config(self, schedule=()):
         return RayConfig(
             max_depth=self._ray_max_depth,
             extinction_prob=self._ray_extinction_prob,
@@ -340,8 +361,43 @@ class ObserverBase(_SceneObserver):
             importance_sampling=self._ray_importance_sampling,
             important_path_weight=self._ray_important_path_weight,
             max_iters=self.max_wavefront_iters,
-            compact_schedule=tuple(self.compact_schedule),
+            compact_schedule=tuple(schedule),
         )
+
+    def _resolve_compact_schedule(self, scene, cfg0, px, py, cam_to_world,
+                                  spp, key):
+        """Resolve ``compact_schedule`` for this pass. "auto" measures the
+        per-bounce alive profile on (a subsample of) the first tile and
+        derives a conservative staged schedule; the result is cached on the
+        observer so accumulation passes reuse one compiled kernel."""
+        if self.compact_schedule != "auto":
+            return tuple(self.compact_schedule)
+        engine = self.render_engine
+        if engine is not None and hasattr(engine, "mesh"):
+            return ()  # sharded batch axis: compaction sort is a collective
+        cache_key = (id(self.root), scene.n_entities, scene.n_leaves,
+                     cfg0, scene.n_bins)
+        cached = getattr(self, "_auto_schedule_cache", None)
+        if cached is not None and cached[0] == cache_key:
+            return cached[1]
+        from ...tracer.wavefront import alive_profile, schedule_from_profile
+
+        # subsample lanes: the profile only needs fractions
+        T = px.shape[0]
+        s_meas = max(1, min(spp, 8192 // T if T < 8192 else 1))
+        u = jax.random.uniform(key, (T, s_meas, self._rays_per_sample))
+        o_loc, d_loc, w = self._generate_rays_device(px[:, None], py[:, None], u)
+        o = vmath.transform_point(cam_to_world, o_loc.reshape(-1, 3))
+        d = vmath.normalise(
+            vmath.transform_vector(cam_to_world, d_loc.reshape(-1, 3))
+        )
+        state = init_rays(o, d, scene.bins, weight=w.reshape(-1))
+        counts = np.asarray(
+            jax.jit(alive_profile, static_argnums=1)(scene, cfg0, state, key)
+        )
+        schedule = schedule_from_profile(counts.tolist(), o.shape[0])
+        self._auto_schedule_cache = (cache_key, schedule)
+        return schedule
 
     def observe(self, seed=None):
         """Render a pass (base/observer.pyx:265-309)."""
@@ -369,7 +425,8 @@ class ObserverBase(_SceneObserver):
         self.render_complete = False
 
         self._initialise_statistics(tasks)
-        cfg = self._ray_config()
+        cfg0 = self._ray_config(())
+        cfg = None  # resolved (incl. auto compaction) at the first tile
         key = jax.random.PRNGKey(
             int(seed) if seed is not None else np.random.randint(0, 2**31 - 1)
         )
@@ -410,6 +467,12 @@ class ObserverBase(_SceneObserver):
             tile_key = jax.random.fold_in(key, tile_idx)
             sens = sensitivity_all[jnp.asarray(flat_ids)]
             pxj, pyj = jnp.asarray(px), jnp.asarray(py)
+            if cfg is None:
+                schedule = self._resolve_compact_schedule(
+                    scenes[0], cfg0, pxj, pyj, cam_to_world, spt,
+                    jax.random.fold_in(key, 0x5EED),
+                )
+                cfg = self._ray_config(schedule)
 
             # accumulate per-pixel (sum, sum-of-squares) over sample chunks;
             # per chunk, slices sum into the full per-sample spectrum first.
@@ -419,6 +482,7 @@ class ObserverBase(_SceneObserver):
             # host sync in between.
             acc_sum = acc_sq = None
             seg_acc = []
+            ovf_acc = []
             proc_spectra = [[] for _ in slices]  # host per-slice sample spectra
             for c_idx, s_chunk in enumerate(sample_chunks):
                 proj_sums = None
@@ -429,11 +493,12 @@ class ObserverBase(_SceneObserver):
                         jax.random.fold_in(tile_key, c_idx * 8191 + s_idx),
                     )
                     if self._proc_pipes:
-                        projections, spectra, segments = out
+                        projections, spectra, segments, overflow = out
                         proc_spectra[s_idx].append(np.asarray(spectra))
                     else:
-                        projections, segments = out
+                        projections, segments, overflow = out
                     seg_acc.append(segments)
+                    ovf_acc.append(overflow)
                     # each pipeline projects to its FULL channel count
                     # (spectral pipelines zero-fill outside the slice), so
                     # slices just sum
@@ -450,25 +515,29 @@ class ObserverBase(_SceneObserver):
                     acc_sum[i] = acc_sum[i] + s1
                     acc_sq[i] = acc_sq[i] + s2
             self._stats_rays += int(sum(int(s) for s in seg_acc))
+            self._stats_overflow += int(sum(int(v) for v in ovf_acc))
 
             # reference-API custom pipelines: drive PixelProcessor per pixel
-            # per slice with the full sample set (base/observer.pyx:363-419)
+            # per slice with the full sample set (base/observer.pyx:363-419).
+            # The sample axis folds through the BATCHED add_samples hook —
+            # per-pixel python boundary only; the default implementation
+            # loops numpy-backed Spectrums with zero device traffic
             if self._proc_pipes:
                 sens_np = np.asarray(sens)
                 for s_idx, slice_ in enumerate(slices):
-                    sp = np.concatenate(proc_spectra[s_idx], axis=1)  # [T, spp, b]
+                    sp = np.asarray(
+                        np.concatenate(proc_spectra[s_idx], axis=1),
+                        dtype=np.float64,
+                    )  # [T, spp, b]
                     for pipe in self._proc_pipes:
                         for t in range(sp.shape[0]):
                             if not valid[t]:
                                 continue
                             proc = pipe.pixel_processor(int(flat_ids[t]), s_idx)
-                            for s in range(sp.shape[1]):
-                                spec = Spectrum(
-                                    slice_.min_wavelength, slice_.max_wavelength,
-                                    slice_.bins,
-                                    samples=sp[t, s].astype(np.float64),
-                                )
-                                proc.add_sample(spec, float(sens_np[t]))
+                            proc.add_samples(
+                                slice_.min_wavelength, slice_.max_wavelength,
+                                slice_.bins, sp[t], float(sens_np[t]),
+                            )
                             pipe.update(int(flat_ids[t]), proc.pack_results(), s_idx)
 
             # fold per-pixel statistics into the pipelines
@@ -518,8 +587,8 @@ class ObserverBase(_SceneObserver):
                 for pipe, c in zip(projections, consts)
             )
             if want_spectra:
-                return outs, spectra, final.segments
-            return outs, final.segments
+                return outs, spectra, final.segments, final.overflow
+            return outs, final.segments, final.overflow
 
         if not hasattr(self, "_kernel_cache"):
             self._kernel_cache = {}
@@ -564,6 +633,7 @@ class ObserverBase(_SceneObserver):
     def _initialise_statistics(self, tasks):
         self._stats_start = time.time()
         self._stats_rays = 0
+        self._stats_overflow = 0
         if not self.quiet:
             print(f"{self.name or type(self).__name__}: observing, "
                   f"{tasks.shape[0]} tasks x {self.pixel_samples} samples "
@@ -582,11 +652,18 @@ class ObserverBase(_SceneObserver):
         elapsed = time.time() - self._stats_start
         self.render_time = elapsed
         self.rays_per_second = self._stats_rays / max(elapsed, 1e-9)
+        self.compaction_overflow = self._stats_overflow
         if not self.quiet:
             print(
                 f"Render complete - time elapsed {elapsed:0.3f}s - "
                 f"{1e-3 * self.rays_per_second:0.1f}k rays/s"
             )
+            if self._stats_overflow:
+                print(
+                    f"  note: {self._stats_overflow} alive lanes exceeded a "
+                    "compaction stage and were roulette-reweighted (unbiased,"
+                    " extra variance) - loosen compact_schedule divisors"
+                )
 
     # --- task helpers ----------------------------------------------------------------
 

@@ -5,9 +5,10 @@ TPU-native re-design of raysect/optical/{spectrum,spectralfunction}.pyx.
 ``Spectrum`` keeps the reference's binning convention exactly: ``bins``
 equal-width bins over [min_wavelength, max_wavelength) with bin-centre
 wavelengths ``min + (i + 0.5) * delta`` (spectrum.pyx:132-181). Its samples
-are a jnp array, and in the wavefront tracer whole *batches* of spectra are
-simply arrays of shape [rays, bins] — the class is the host-facing
-convenience wrapper.
+are a HOST numpy float64 array (the reference's Spectrum is float64 numpy
+too) so per-sample host folding — the PixelProcessor path — never pays a
+device sync; in the wavefront tracer whole *batches* of spectra are jnp
+arrays of shape [rays, bins] — the class is the host-facing wrapper only.
 
 ``SpectralFunction`` and subclasses mirror spectralfunction.pyx:44-529. Their
 ``sample()`` output feeds the scene compiler, which bakes every material
@@ -42,10 +43,11 @@ def photon_energy(wavelength):
     return PLANCK_CONSTANT * SPEED_OF_LIGHT / (wavelength * 1e-9)
 
 
-def wavelength_grid(min_wavelength, max_wavelength, bins, dtype=jnp.float32):
-    """Bin-centre wavelengths (spectrum.pyx:181 convention)."""
+def wavelength_grid(min_wavelength, max_wavelength, bins, dtype=np.float64):
+    """Bin-centre wavelengths (spectrum.pyx:181 convention). Host numpy —
+    device code builds its grid inside compile_scene."""
     delta = (max_wavelength - min_wavelength) / bins
-    return min_wavelength + (jnp.arange(bins, dtype=dtype) + 0.5) * delta
+    return min_wavelength + (np.arange(bins, dtype=dtype) + 0.5) * delta
 
 
 class Spectrum:
@@ -64,16 +66,21 @@ class Spectrum:
         self.bins = int(bins)
         self.delta_wavelength = (self.max_wavelength - self.min_wavelength) / self.bins
         if samples is None:
-            self.samples = jnp.zeros(self.bins, dtype=jnp.float32)
+            self.samples = np.zeros(self.bins, dtype=np.float64)
         else:
-            samples = jnp.asarray(samples, dtype=jnp.float32)
+            samples = np.asarray(samples, dtype=np.float64)
             if samples.shape != (self.bins,):
                 raise ValueError("Sample array must have shape (bins,).")
             self.samples = samples
+        self._wavelengths = None
 
     @property
     def wavelengths(self):
-        return wavelength_grid(self.min_wavelength, self.max_wavelength, self.bins)
+        if self._wavelengths is None:
+            self._wavelengths = wavelength_grid(
+                self.min_wavelength, self.max_wavelength, self.bins
+            )
+        return self._wavelengths
 
     def is_compatible(self, min_wavelength, max_wavelength, bins):
         """Spectral-config equality check (spectrum.pyx:183)."""
@@ -92,27 +99,37 @@ class Spectrum:
         )
 
     def clear(self):
-        self.samples = jnp.zeros_like(self.samples)
+        self.samples = np.zeros_like(self.samples)
 
     def is_zero(self):
-        return bool(jnp.all(self.samples == 0.0))
+        return bool(np.all(self.samples == 0.0))
 
     def total(self):
         """Total radiance, W/m2/str (spectrum.pyx total())."""
-        return float(jnp.sum(self.samples) * self.delta_wavelength)
+        return float(np.sum(self.samples) * self.delta_wavelength)
 
     def average(self, min_wavelength=None, max_wavelength=None):
         """Mean spectral radiance over the range (spectrum.pyx:202)."""
         lo = self.min_wavelength if min_wavelength is None else min_wavelength
         hi = self.max_wavelength if max_wavelength is None else max_wavelength
+        if lo == self.min_wavelength and hi == self.max_wavelength:
+            return float(self.samples.mean())
         return float(
             _interp.average(self.wavelengths, self.samples, lo, hi)
         )
 
     def integrate(self, min_wavelength=None, max_wavelength=None):
-        """Integrated radiance over the range (spectrum.pyx:240)."""
+        """Integrated radiance over the range (spectrum.pyx:240).
+
+        Full-range fast path: the integral of the bin-centre piecewise-
+        linear interpolant with constant end extrapolation over exactly
+        [min_wavelength, max_wavelength] telescopes to sum(samples)*delta —
+        the reference's total() identity (spectrum.pyx:306) — so the hot
+        PixelProcessor call costs one numpy reduction."""
         lo = self.min_wavelength if min_wavelength is None else min_wavelength
         hi = self.max_wavelength if max_wavelength is None else max_wavelength
+        if lo == self.min_wavelength and hi == self.max_wavelength:
+            return float(self.samples.sum() * self.delta_wavelength)
         return float(_interp.integrate(self.wavelengths, self.samples, lo, hi))
 
     def sample(self, min_wavelength, max_wavelength, bins):
@@ -141,22 +158,22 @@ class Spectrum:
         self.samples = self.samples / v
 
     def add_array(self, a):
-        self.samples = self.samples + jnp.asarray(a)
+        self.samples = self.samples + np.asarray(a)
 
     def sub_array(self, a):
-        self.samples = self.samples - jnp.asarray(a)
+        self.samples = self.samples - np.asarray(a)
 
     def mul_array(self, a):
-        self.samples = self.samples * jnp.asarray(a)
+        self.samples = self.samples * np.asarray(a)
 
     def div_array(self, a):
-        self.samples = self.samples / jnp.asarray(a)
+        self.samples = self.samples / np.asarray(a)
 
     def mad_scalar(self, scalar, array):
-        self.samples = self.samples + scalar * jnp.asarray(array)
+        self.samples = self.samples + scalar * np.asarray(array)
 
     def mad_array(self, a, b):
-        self.samples = self.samples + jnp.asarray(a) * jnp.asarray(b)
+        self.samples = self.samples + np.asarray(a) * np.asarray(b)
 
     def __getstate__(self):
         return (

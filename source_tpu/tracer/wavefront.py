@@ -48,7 +48,8 @@ from ..optical.material.base import (
 from .intersect import HitRecord, entity_contains, intersect_scene
 
 __all__ = ["RayConfig", "RayState", "init_rays", "trace_rays", "trace_rays_diff",
-           "trace_rays_logged", "reconstruct_trajectories"]
+           "trace_rays_logged", "reconstruct_trajectories", "alive_profile",
+           "schedule_from_profile"]
 
 _INF = jnp.inf
 _PI = jnp.pi
@@ -83,6 +84,10 @@ class RayState:
     alive: Any  # bool[N]
     depth: Any  # i32[N]
     segments: Any  # i32[] total path segments traced (rays/s accounting)
+    # i32[] alive lanes beyond a compaction stage's capacity, summed over
+    # stages — each adds roulette variance (not bias); nonzero says the
+    # compact_schedule divisors are too aggressive for this scene
+    overflow: Any
 
 
 def init_rays(origin, direction, bins, weight=None):
@@ -99,6 +104,7 @@ def init_rays(origin, direction, bins, weight=None):
         alive=jnp.ones(N, dtype=bool),
         depth=jnp.zeros(N, dtype=jnp.int32),
         segments=jnp.zeros((), jnp.int32),
+        overflow=jnp.zeros((), jnp.int32),
     )
 
 
@@ -621,6 +627,7 @@ def trace_step(scene: CompiledScene, cfg: RayConfig, state: RayState, step_key):
         alive=alive,
         depth=state.depth,
         segments=state.segments,
+        overflow=state.overflow,
     )
     throughput, vol_emission = _volume_interaction(scene, vol_state, rec)
     radiance = state.radiance + jnp.where(
@@ -648,6 +655,7 @@ def trace_step(scene: CompiledScene, cfg: RayConfig, state: RayState, step_key):
         alive=alive_next,
         depth=depth,
         segments=state.segments + jnp.sum(alive.astype(jnp.int32)),
+        overflow=state.overflow,
     )
 
 
@@ -683,6 +691,7 @@ def _compact_lanes(st: RayState, divisor: int, lane_ids, radiance_full, key):
         alive=alive_kept,
         depth=st.depth[keep],
         segments=st.segments,
+        overflow=st.overflow + jnp.maximum(alive_count - M, 0),
     )
     return sub, lane_ids, radiance_full
 
@@ -739,6 +748,7 @@ def trace_rays(scene: CompiledScene, cfg: RayConfig, state: RayState, key):
         alive=jnp.zeros(N, dtype=bool),
         depth=state.depth,
         segments=st.segments,
+        overflow=st.overflow,
     )
 
 
@@ -751,11 +761,14 @@ def trace_rays_diff(scene: CompiledScene, cfg: RayConfig, state: RayState, key):
     only a few percent of paths survive Russian roulette/escape) stop
     paying full-batch cost. Everything stays fixed-shape — the gather/
     scatter is differentiable and the radiance of compacted-away (dead)
-    lanes is already final. If live lanes exceed a stage's capacity the
-    overflow is truncated (same class of bias as the max_iters bound);
-    pick divisors with headroom. Off by default — under a sharded batch
-    axis the sort becomes a cross-device collective, so enable it for
-    single-device rendering (bench) only.
+    lanes is already final. If live lanes exceed a stage's capacity a
+    random subset survives with 1/keep-prob reweighting (``_compact_lanes``)
+    — Russian roulette, so compaction stays UNBIASED under overflow at the
+    cost of extra variance; the per-trace ``overflow`` counter in the
+    returned RayState reports how many lanes were reweighted so callers can
+    loosen the divisors. Off by default — under a sharded batch axis the
+    sort becomes a cross-device collective, so enable it for single-device
+    rendering (bench) only.
     """
 
     @jax.checkpoint
@@ -794,7 +807,47 @@ def trace_rays_diff(scene: CompiledScene, cfg: RayConfig, state: RayState, key):
         alive=jnp.zeros(N, dtype=bool),
         depth=state.depth,
         segments=st.segments,
+        overflow=st.overflow,
     )
+
+
+def alive_profile(scene: CompiledScene, cfg: RayConfig, state: RayState, key):
+    """Per-bounce alive-lane counts: i32[max_iters] telemetry for choosing a
+    compaction schedule (one fixed-length scan, no radiance bookkeeping)."""
+
+    def body(st, i):
+        nxt = trace_step(scene, cfg, st, jax.random.fold_in(key, i))
+        return nxt, jnp.sum(st.alive.astype(jnp.int32))
+
+    _, counts = jax.lax.scan(body, state, jnp.arange(cfg.max_iters))
+    return counts
+
+
+def schedule_from_profile(counts, n_lanes, headroom=4, max_divisor=64,
+                          min_stage_steps=2):
+    """Derive a compact_schedule from measured per-bounce alive counts.
+
+    Conservative by construction: a stage shrinks the CURRENT batch by 2x
+    only once the measured alive fraction at that depth is below
+    1/(headroom * cumulative_divisor) — with headroom 4x, overflow needs
+    the later tiles to be 4x more alive than the measured tile. Returns a
+    ((steps, divisor), ...) tuple (divisors are per-stage, relative)."""
+    fracs = [c / max(1, n_lanes) for c in counts]
+    schedule = []
+    cum_div = 1
+    steps_in_stage = 0
+    for f in fracs:
+        steps_in_stage += 1
+        next_div = cum_div * 2
+        if (
+            steps_in_stage >= min_stage_steps
+            and cum_div < max_divisor
+            and f * headroom * next_div <= 1.0
+        ):
+            schedule.append((steps_in_stage, 2))
+            cum_div = next_div
+            steps_in_stage = 0
+    return tuple(schedule)
 
 
 def trace_rays_logged(scene: CompiledScene, cfg: RayConfig, state: RayState, key):
