@@ -92,14 +92,27 @@ def main():
         }
         print(json.dumps({"devices": n, **results[str(n)]}), flush=True)
 
+    payload = {
+        "interpretation": (
+            "HARNESS VALIDATION ONLY on a virtual CPU mesh: all N 'devices' "
+            "share one host's cores, so weak-scaling 'efficiency' here "
+            "measures host-core oversubscription, not interconnect cost. "
+            "The defensible multi-chip prediction is benchmarks/"
+            "comm_model.json: the per-step all-reduce volume measured from "
+            "the compiled HLO is ~4 KB (scene-parameter gradients), giving "
+            ">99.9% predicted DP efficiency at any pod size on real ICI. "
+            "Re-run this harness on actual chips for a measured number."
+        ),
+        "results": results,
+    }
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)), "scaling.json")
     with open(out, "w") as f:
-        json.dump(results, f, indent=1)
+        json.dump(payload, f, indent=1)
     worst = min(v["efficiency"] for v in results.values())
     print(f"worst weak-scaling efficiency: {worst:.2%} "
           f"(target >= 85% on real ICI; virtual CPU meshes share host cores "
           f"so this harness validates the MECHANISM, the number is only "
-          f"meaningful on chips)")
+          f"meaningful on chips — see comm_model.py for the prediction)")
 
 
 if __name__ == "__main__":
