@@ -1,18 +1,23 @@
-"""Roofline / speed-of-light analysis for the wavefront trace kernel.
+"""Roofline / speed-of-light analysis for the flagship benchmark program.
 
-Jits one full forward trace on the flagship Cornell-box (glass) scene,
-pulls XLA's own cost model for the compiled program (FLOPs + bytes
-accessed), measures wall time, and reports achieved FLOP/s and HBM
-bandwidth against the chip peaks — the roofline bound consumption
-max(flops/peak_flops, bytes/peak_bw) tells how far the kernel is from
-speed of light and WHICH wall it is approaching.
+Jits the SAME program bench.py times (benchmarks/flagship.py: glass Cornell
+512x512, identical RayConfig), pulls XLA's cost model for the compiled
+binary (FLOPs + bytes accessed), measures wall time, and reports achieved
+FLOP/s and HBM bandwidth against the chip peaks. The roofline consumption
+max(flops/peak_flops, bytes/peak_bw) says how far the program is from
+speed of light and WHICH wall it approaches; for this bandwidth-bound
+tracer,
 
-TPU v5e peaks (public spec): 394 TFLOP/s bf16 MXU, 197 TFLOP/s fp32-ish
-effective (the tracer is elementwise-f32 dominated, so the relevant
-ceiling is the VPU/HBM roofline), 819 GB/s HBM.
+    ceiling_segments_per_s = achieved_segments_per_s / hbm_peak_frac
+
+is the rate the SAME program would reach at 100% of HBM bandwidth, so
+``achieved_vs_ceiling`` == hbm_peak_frac is the single number BASELINE.md
+tracks (VERDICT r2 #1: one shared config, one defensible fraction).
+
+TPU v5e peaks (public spec): 394 TFLOP/s bf16 MXU, ~98 TFLOP/s f32,
+819 GB/s HBM.
 
 Usage: python benchmarks/mfu.py          (real TPU)
-       PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu python benchmarks/mfu.py
 Writes benchmarks/mfu.json.
 """
 
@@ -23,10 +28,6 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-N_RAYS = 1 << 18
-BINS = 15
-MAX_ITERS = 24
-
 PEAK_HBM_GBS = 819.0  # v5e
 PEAK_BF16_TFLOPS = 394.0  # v5e MXU
 PEAK_F32_TFLOPS = 98.5  # v5e MXU f32 (bf16/4); VPU elementwise is lower still
@@ -36,23 +37,18 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from demos.cornell_box import build_world
-    from source_tpu.compiler import SpectralConfig, compile_scene
+    from benchmarks.flagship import BINS, build
     from source_tpu.parallel.engine import render_batch, render_loss_and_grads
-    from source_tpu.tracer.wavefront import RayConfig
 
-    world = build_world(glass=True)
-    scene = compile_scene(world, SpectralConfig(375.0, 740.0, BINS))
-    cfg = RayConfig(max_depth=16, extinction_prob=0.1, extinction_min_depth=3,
-                    max_iters=MAX_ITERS, compact_schedule=((3, 4), (3, 4)))
-
+    scene, cfg, o, d = build()
+    target = jnp.zeros((o.shape[0], BINS), jnp.float32)
     key = jax.random.PRNGKey(0)
-    u = jax.random.uniform(key, (N_RAYS, 2))
-    d = jnp.stack([(u[:, 0] - 0.5) * 0.8, (u[:, 1] - 0.5) * 0.8,
-                   jnp.ones(N_RAYS)], axis=-1)
-    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
-    o = jnp.broadcast_to(jnp.asarray([0.0, 0.0, -3.3], jnp.float32), (N_RAYS, 3))
-    target = jnp.zeros((N_RAYS, BINS), jnp.float32)
+
+    # actual traced segments (roulette-truncated) — the SAME denominator
+    # bench.py uses, not the pre-compaction upper bound
+    segments = int(jax.jit(
+        lambda s, k: render_batch(s, cfg, o, d, k).segments
+    )(scene, key))
 
     report = {}
     for name, fn in [
@@ -80,7 +76,7 @@ def main():
         gbs = bytes_accessed / dt / 1e9
         flop_frac = tflops / PEAK_F32_TFLOPS
         bw_frac = gbs / PEAK_HBM_GBS
-        segments = N_RAYS * MAX_ITERS  # upper bound (pre-compaction width)
+        seg_rate = segments / dt
         report[name] = {
             "wall_s": round(dt, 4),
             "xla_tflops": round(tflops, 2),
@@ -88,8 +84,11 @@ def main():
             "flop_peak_frac": round(flop_frac, 4),
             "hbm_peak_frac": round(bw_frac, 4),
             "roofline_bound": "hbm" if bw_frac > flop_frac else "flops",
-            "roofline_consumption": round(max(bw_frac, flop_frac), 4),
-            "segments_per_s_upper": round(segments / dt, 1),
+            "segments_per_s": round(seg_rate, 1),
+            "ceiling_segments_per_s": round(
+                seg_rate / max(max(bw_frac, flop_frac), 1e-9), 1
+            ),
+            "achieved_vs_ceiling": round(max(bw_frac, flop_frac), 4),
         }
         print(json.dumps({"kernel": name, **report[name]}), flush=True)
 

@@ -65,6 +65,43 @@ class HitRecord:
     bary_v: Any = None  # f32[N] barycentric v of the mesh hit
 
 
+def _rays_to_local_mxu(w2l, origin, direction):
+    """Transform a ray batch into EVERY leaf frame of a slice with one MXU
+    contraction per quantity instead of N*l VPU mat-vecs: the per-leaf
+    affine rows fold into a [4, 3l] table and ``[N,4] @ [4,3l]`` yields all
+    local origins at once (same trick as the dense mesh forest,
+    meshtrace.py). f32 precision is forced — geometry must not drop to the
+    TPU's default bf16 matmul. Returns (o_loc, d_loc) as [N, l, 3]."""
+    l = w2l.shape[0]
+    M = w2l[:, :3, :].transpose(2, 0, 1).reshape(4, l * 3)  # [j, (l,i)]
+    o_h = jnp.concatenate(
+        [origin, jnp.ones((origin.shape[0], 1), origin.dtype)], axis=-1
+    )
+    o_loc = jax.lax.dot_general(
+        o_h, M, (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+    ).reshape(-1, l, 3)
+    d_loc = jax.lax.dot_general(
+        direction, M[:3], (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+    ).reshape(-1, l, 3)
+    return o_loc, d_loc
+
+
+def _points_to_local_mxu(w2l, point):
+    """Points [..., 3] into every leaf frame of a slice: [..., l, 3]."""
+    l = w2l.shape[0]
+    lead = point.shape[:-1]
+    M = w2l[:, :3, :].transpose(2, 0, 1).reshape(4, l * 3)
+    p = point.reshape(-1, 3)
+    p_h = jnp.concatenate([p, jnp.ones((p.shape[0], 1), p.dtype)], axis=-1)
+    p_loc = jax.lax.dot_general(
+        p_h, M, (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+    ).reshape(lead + (l, 3))
+    return p_loc
+
+
 def leaf_candidates(scene: CompiledScene, origin, direction):
     """All boundary crossings per (ray, leaf): t[N, L, K] sorted, +inf pad.
 
@@ -76,8 +113,7 @@ def leaf_candidates(scene: CompiledScene, origin, direction):
         w2l = scene.leaf_w2l[start:stop]  # [l,4,4]
         params = scene.leaf_params[start:stop]  # [l,PB]
         # local rays: [N, l, 3]
-        o_loc = vmath.transform_point(w2l[None, :], origin[:, None, :])
-        d_loc = vmath.transform_vector(w2l[None, :], direction[:, None, :])
+        o_loc, d_loc = _rays_to_local_mxu(w2l, origin, direction)
         t = _a.CANDIDATE_FNS[type_id](o_loc, d_loc, params[None, :, :])
         parts.append(t)
     return jnp.concatenate(parts, axis=1)  # [N, L, K]
@@ -89,7 +125,7 @@ def leaf_contains(scene: CompiledScene, point):
     for type_id, start, stop in scene.type_slices:
         w2l = scene.leaf_w2l[start:stop]
         params = scene.leaf_params[start:stop]
-        p_loc = vmath.transform_point(w2l, point[..., None, :])
+        p_loc = _points_to_local_mxu(w2l, point)
         parts.append(_a.CONTAINS_FNS[type_id](p_loc, params))
     return jnp.concatenate(parts, axis=-1)
 
@@ -182,8 +218,7 @@ def intersect_scene(scene: CompiledScene, origin, direction, t_min_scale=None):
         for type_id, start, stop in scene.type_slices:
             w2l = scene.leaf_w2l[start:stop]  # [l,4,4]
             params = scene.leaf_params[start:stop]  # [l,PB]
-            o_loc = vmath.transform_point(w2l[None, :], origin[:, None, :])
-            d_loc = vmath.transform_vector(w2l[None, :], direction[:, None, :])
+            o_loc, d_loc = _rays_to_local_mxu(w2l, origin, direction)
             cand_slice = _a.CANDIDATE_FNS[type_id](o_loc, d_loc, params[None, :, :])
             # nearest positive crossing per leaf in this slice
             cand_pos = jnp.where(cand_slice > eps[:, None, None], cand_slice, _INF)

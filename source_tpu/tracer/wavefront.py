@@ -72,6 +72,14 @@ class RayConfig:
     # — after `steps` bounces, sort alive-first and keep N/divisor lanes.
     # Empty = off (required under a sharded batch axis).
     compact_schedule: tuple = ()
+    # reverse-mode rematerialisation granularity: bounces per checkpoint
+    # block in trace_rays_diff. 1 = the classic per-bounce checkpoint, which
+    # writes the FULL RayState carry to HBM every bounce (~150 B/lane/iter
+    # in each direction — the dominant fwd+bwd traffic on a bandwidth-bound
+    # chip). Larger blocks store the carry only at block boundaries and
+    # recompute the inner bounces in the backward pass: bytes / block_size
+    # at ~2x block compute — a win whenever the trace is HBM-bound.
+    remat_block: int = 4
 
 
 @jax.tree_util.register_dataclass
@@ -234,23 +242,34 @@ def _surface_interaction(scene: CompiledScene, cfg: RayConfig, state: RayState,
     n_sh = jnp.where(cos_in[:, None] >= 0.0, n, -n)
 
     # Roughen modifier: perturb the shading normal pre-dispatch
-    # (roughen.pyx:46-120 — lerp toward a cosine-hemisphere sample; the
-    # reference's rejection loop is replaced by clamping to the incident
-    # hemisphere)
+    # (roughen.pyx:46-120 — lerp toward a cosine-hemisphere sample,
+    # rejection-accepting perturbations that keep the incident ray on the
+    # same side). The reference retries up to 50 times; here 4 vectorized
+    # attempts take the first valid draw (acceptance probability is high,
+    # so the residual fallback-to-unperturbed mass is p_reject^4 — the
+    # divergence is pinned by tests/test_roughen_estimator.py)
     roughen = params[:, ROUGHEN_SLOT]
     if scene.has_roughen:
         t_r, b_r, n_r = vmath.make_frame(n_sh)
-        pert = vmath.from_frame(
-            vrand.vector_hemisphere_cosine(u[:, 8], u[:, 9]), t_r, b_r, n_r
-        )
-        n_pert = vmath.normalise(vmath.lerp(n_sh, pert, roughen[:, None]))
-        # keep the perturbed normal on the incident side and facing away
-        # from the ray; cos_in stays geometric (the dielectric's
-        # entering/exiting logic needs the true outward normal)
-        keep = (vmath.dot(n_pert, n_sh) > 1e-4) & (roughen > 0.0) & (
-            vmath.dot(d, n_pert) < 0.0
-        )
-        n_sh = jnp.where(keep[:, None], n_pert, n_sh)
+        chosen = n_sh
+        found = jnp.zeros(N, dtype=bool)
+        for a in range(4):
+            pert = vmath.from_frame(
+                vrand.vector_hemisphere_cosine(u[:, 8 + 2 * a], u[:, 9 + 2 * a]),
+                t_r, b_r, n_r,
+            )
+            n_pert = vmath.normalise(vmath.lerp(n_sh, pert, roughen[:, None]))
+            # valid when the perturbed normal stays on the incident side and
+            # faces away from the ray; cos_in stays geometric (the
+            # dielectric's entering/exiting logic needs the true normal)
+            valid = (vmath.dot(n_pert, n_sh) > 1e-4) & (
+                vmath.dot(d, n_pert) < 0.0
+            )
+            take = valid & ~found
+            chosen = jnp.where(take[:, None], n_pert, chosen)
+            found = found | valid
+        keep = found & (roughen > 0.0)
+        n_sh = jnp.where(keep[:, None], chosen, n_sh)
     abs_cos_in = jnp.abs(cos_in)
 
     # surface frame for hemisphere sampling
@@ -587,7 +606,10 @@ def _volume_interaction(scene: CompiledScene, state: RayState, rec: HitRecord):
 def trace_step(scene: CompiledScene, cfg: RayConfig, state: RayState, step_key):
     """One wavefront bounce. Returns the next RayState."""
     N = state.origin.shape[0]
-    u = jax.random.uniform(step_key, (N, 10), state.origin.dtype)
+    # 10 uniforms per bounce; +6 when a Roughen modifier is present (its
+    # 4-attempt rejection sampling consumes columns 8..15)
+    n_u = 16 if scene.has_roughen else 10
+    u = jax.random.uniform(step_key, (N, n_u), state.origin.dtype)
 
     # Russian roulette (optical/ray.pyx:380-388)
     roulette_active = state.alive & (state.depth >= cfg.extinction_min_depth)
@@ -772,13 +794,33 @@ def trace_rays_diff(scene: CompiledScene, cfg: RayConfig, state: RayState, key):
     """
 
     @jax.checkpoint
-    def body(st, i):
-        return trace_step(scene, cfg, st, jax.random.fold_in(key, i)), None
+    def block(st, starts):
+        """One checkpoint block of remat_block bounces: the carry is saved
+        to HBM only at block boundaries; inner bounces recompute in the
+        backward pass (cfg.remat_block rationale above)."""
+
+        def inner(s, i):
+            return trace_step(scene, cfg, s, jax.random.fold_in(key, i)), None
+
+        st, _ = jax.lax.scan(inner, st, starts)
+        return st, None
+
+    def run_span(st, start, stop):
+        """Scan [start, stop) bounces in remat blocks (remainder block last)."""
+        R = max(1, int(cfg.remat_block))
+        n = stop - start
+        full = n // R
+        if full:
+            idx = start + jnp.arange(full * R).reshape(full, R)
+            st, _ = jax.lax.scan(block, st, idx)
+        rem = n - full * R
+        if rem:
+            st, _ = block(st, jnp.arange(stop - rem, stop))
+        return st
 
     schedule = cfg.compact_schedule
     if not schedule:
-        final, _ = jax.lax.scan(body, state, jnp.arange(cfg.max_iters))
-        return final
+        return run_span(state, 0, cfg.max_iters)
 
     N = state.origin.shape[0]
     done = 0
@@ -790,14 +832,14 @@ def trace_rays_diff(scene: CompiledScene, cfg: RayConfig, state: RayState, key):
         steps = min(steps, cfg.max_iters - done)
         if steps <= 0:
             break
-        st, _ = jax.lax.scan(body, st, jnp.arange(done, done + steps))
+        st = run_span(st, done, done + steps)
         done += steps
         st, lane_ids, radiance_full = _compact_lanes(
             st, divisor, lane_ids, radiance_full,
             jax.random.fold_in(key, 1_000_000 + done),
         )
     if done < cfg.max_iters:
-        st, _ = jax.lax.scan(body, st, jnp.arange(done, cfg.max_iters))
+        st = run_span(st, done, cfg.max_iters)
     radiance_full = radiance_full.at[lane_ids].set(st.radiance)
     return RayState(
         origin=state.origin,
