@@ -18,7 +18,9 @@ BINS = 15
 MAX_DEPTH = 16
 MAX_ITERS = 24
 COMPACT = ((3, 4), (3, 4))
-REMAT_BLOCK = 4
+# measured on v5e: per-bounce checkpointing beats blocked remat at this
+# batch size (the trace is launch-bound, not HBM-bound — see RayConfig)
+REMAT_BLOCK = 1
 
 
 def build():

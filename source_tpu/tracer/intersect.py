@@ -65,6 +65,12 @@ class HitRecord:
     bary_v: Any = None  # f32[N] barycentric v of the mesh hit
 
 
+# below this slice width the [N,4]@[4,3l] contraction's extra kernel
+# launches cost more than the fused VPU mat-vecs they replace (measured on
+# v5e: the 8-leaf Cornell scene ran ~15% slower through the MXU path)
+_MXU_TRANSFORM_MIN_LEAVES = 16
+
+
 def _rays_to_local_mxu(w2l, origin, direction):
     """Transform a ray batch into EVERY leaf frame of a slice with one MXU
     contraction per quantity instead of N*l VPU mat-vecs: the per-leaf
@@ -73,6 +79,10 @@ def _rays_to_local_mxu(w2l, origin, direction):
     meshtrace.py). f32 precision is forced — geometry must not drop to the
     TPU's default bf16 matmul. Returns (o_loc, d_loc) as [N, l, 3]."""
     l = w2l.shape[0]
+    if l < _MXU_TRANSFORM_MIN_LEAVES:
+        o_loc = vmath.transform_point(w2l[None, :], origin[:, None, :])
+        d_loc = vmath.transform_vector(w2l[None, :], direction[:, None, :])
+        return o_loc, d_loc
     M = w2l[:, :3, :].transpose(2, 0, 1).reshape(4, l * 3)  # [j, (l,i)]
     o_h = jnp.concatenate(
         [origin, jnp.ones((origin.shape[0], 1), origin.dtype)], axis=-1
@@ -91,6 +101,8 @@ def _rays_to_local_mxu(w2l, origin, direction):
 def _points_to_local_mxu(w2l, point):
     """Points [..., 3] into every leaf frame of a slice: [..., l, 3]."""
     l = w2l.shape[0]
+    if l < _MXU_TRANSFORM_MIN_LEAVES:
+        return vmath.transform_point(w2l, point[..., None, :])
     lead = point.shape[:-1]
     M = w2l[:, :3, :].transpose(2, 0, 1).reshape(4, l * 3)
     p = point.reshape(-1, 3)

@@ -72,14 +72,21 @@ class RayConfig:
     # — after `steps` bounces, sort alive-first and keep N/divisor lanes.
     # Empty = off (required under a sharded batch axis).
     compact_schedule: tuple = ()
+    # trace_rays loop style: True = while_loop that exits when every lane
+    # is dead; False = fori_loop with no per-iteration alive reduction —
+    # better when compaction already bounds the tail or extinction is low
+    # (reference default 0.01 keeps most lanes alive to max_depth anyway)
+    early_exit: bool = True
     # reverse-mode rematerialisation granularity: bounces per checkpoint
-    # block in trace_rays_diff. 1 = the classic per-bounce checkpoint, which
-    # writes the FULL RayState carry to HBM every bounce (~150 B/lane/iter
-    # in each direction — the dominant fwd+bwd traffic on a bandwidth-bound
-    # chip). Larger blocks store the carry only at block boundaries and
-    # recompute the inner bounces in the backward pass: bytes / block_size
-    # at ~2x block compute — a win whenever the trace is HBM-bound.
-    remat_block: int = 4
+    # block in trace_rays_diff. 1 (default) = the classic per-bounce
+    # checkpoint. Larger blocks store the carry only at block boundaries
+    # and recompute the inner bounces in the backward pass — bytes /
+    # block_size at ~2x block compute, a win only when the trace is
+    # HBM-bandwidth-bound. MEASURED on v5e (glass Cornell, 262k rays):
+    # block 4 regressed fwd+bwd 70 -> 117 ms — at these batch sizes the
+    # trace is launch/occupancy-bound, so recompute is pure overhead. Use
+    # >1 only for very large ray batches that are bandwidth-bound.
+    remat_block: int = 1
 
 
 @jax.tree_util.register_dataclass
@@ -603,13 +610,23 @@ def _volume_interaction(scene: CompiledScene, state: RayState, rec: HitRecord):
     return throughput, emission
 
 
-def trace_step(scene: CompiledScene, cfg: RayConfig, state: RayState, step_key):
-    """One wavefront bounce. Returns the next RayState."""
+def _n_uniforms(scene: CompiledScene):
+    """Uniform draws per bounce: 10, +6 when a Roughen modifier is present
+    (its 4-attempt rejection sampling consumes columns 8..15)."""
+    return 16 if scene.has_roughen else 10
+
+
+def trace_step(scene: CompiledScene, cfg: RayConfig, state: RayState, step_key,
+               u=None):
+    """One wavefront bounce. Returns the next RayState.
+
+    ``u`` optionally supplies this bounce's [N, n_uniforms] random draws
+    (the drivers hoist the whole span's RNG into one upfront kernel instead
+    of re-entering threefry inside every loop iteration)."""
     N = state.origin.shape[0]
-    # 10 uniforms per bounce; +6 when a Roughen modifier is present (its
-    # 4-attempt rejection sampling consumes columns 8..15)
-    n_u = 16 if scene.has_roughen else 10
-    u = jax.random.uniform(step_key, (N, n_u), state.origin.dtype)
+    if u is None:
+        u = jax.random.uniform(step_key, (N, _n_uniforms(scene)),
+                               state.origin.dtype)
 
     # Russian roulette (optical/ray.pyx:380-388)
     roulette_active = state.alive & (state.depth >= cfg.extinction_min_depth)
@@ -696,8 +713,13 @@ def _compact_lanes(st: RayState, divisor: int, lane_ids, radiance_full, key):
     N = st.origin.shape[0]
     M = max(1, N // divisor)
     r = jax.random.uniform(key, (N,))
-    # primary key: dead lanes last; secondary: random (uniform subsampling)
-    order = jnp.lexsort((r, ~st.alive))
+    # one fused sort: alive lanes carry keys in [0,1) (random order for
+    # uniform subsampling under overflow), dead lanes in [2,3) — a single
+    # lax.sort pass replaces lexsort's two argsort passes
+    sort_key = r + jnp.where(st.alive, 0.0, 2.0)
+    _, order = jax.lax.sort(
+        (sort_key, jnp.arange(N, dtype=jnp.int32)), dimension=0, num_keys=1
+    )
     keep = order[:M]
     alive_count = jnp.sum(st.alive)
     overflow_scale = jnp.maximum(alive_count.astype(st.throughput.dtype) / M, 1.0)
@@ -727,18 +749,34 @@ def trace_rays(scene: CompiledScene, cfg: RayConfig, state: RayState, key):
     surviving paths no longer holds the full batch width hostage.
     """
 
+    n_u = _n_uniforms(scene)
+
     def run_range(st, start, end):
-        def cond(carry):
-            i, s = carry
-            return (i < end) & jnp.any(s.alive)
+        # hoist the whole span's RNG into one kernel (threefry re-entry per
+        # bounce costs both compute and launches inside the serial loop)
+        nsteps = end - start
+        u_all = jax.random.uniform(
+            jax.random.fold_in(key, 0x7A000 + start),
+            (nsteps, st.origin.shape[0], n_u), st.origin.dtype,
+        )
 
-        def body(carry):
-            i, s = carry
-            s = trace_step(scene, cfg, s, jax.random.fold_in(key, i))
-            return i + 1, s
+        if cfg.early_exit:
+            def cond(carry):
+                i, s = carry
+                return (i < end) & jnp.any(s.alive)
 
-        _, final = jax.lax.while_loop(cond, body, (jnp.int32(start), st))
-        return final
+            def body(carry):
+                i, s = carry
+                s = trace_step(scene, cfg, s, None, u=u_all[i - start])
+                return i + 1, s
+
+            _, final = jax.lax.while_loop(cond, body, (jnp.int32(start), st))
+            return final
+
+        def fbody(i, s):
+            return trace_step(scene, cfg, s, None, u=u_all[i - start])
+
+        return jax.lax.fori_loop(start, end, fbody, st)
 
     schedule = cfg.compact_schedule
     if not schedule:
@@ -793,29 +831,39 @@ def trace_rays_diff(scene: CompiledScene, cfg: RayConfig, state: RayState, key):
     rendering (bench) only.
     """
 
+    n_u = _n_uniforms(scene)
+
     @jax.checkpoint
-    def block(st, starts):
+    def block(st, xs):
         """One checkpoint block of remat_block bounces: the carry is saved
         to HBM only at block boundaries; inner bounces recompute in the
         backward pass (cfg.remat_block rationale above)."""
 
-        def inner(s, i):
-            return trace_step(scene, cfg, s, jax.random.fold_in(key, i)), None
+        def inner(s, ui):
+            return trace_step(scene, cfg, s, None, u=ui), None
 
-        st, _ = jax.lax.scan(inner, st, starts)
+        st, _ = jax.lax.scan(inner, st, xs)
         return st, None
 
     def run_span(st, start, stop):
-        """Scan [start, stop) bounces in remat blocks (remainder block last)."""
+        """Scan [start, stop) bounces in remat blocks (remainder block last),
+        with the span's RNG hoisted into one upfront kernel."""
         R = max(1, int(cfg.remat_block))
         n = stop - start
+        u_all = jax.random.uniform(
+            jax.random.fold_in(key, 0x7A000 + start),
+            (n, st.origin.shape[0], n_u), st.origin.dtype,
+        )
         full = n // R
         if full:
-            idx = start + jnp.arange(full * R).reshape(full, R)
-            st, _ = jax.lax.scan(block, st, idx)
+            st, _ = jax.lax.scan(
+                block, st, u_all[: full * R].reshape(
+                    full, R, st.origin.shape[0], n_u
+                )
+            )
         rem = n - full * R
         if rem:
-            st, _ = block(st, jnp.arange(stop - rem, stop))
+            st, _ = block(st, u_all[full * R:])
         return st
 
     schedule = cfg.compact_schedule
@@ -865,7 +913,7 @@ def alive_profile(scene: CompiledScene, cfg: RayConfig, state: RayState, key):
     return counts
 
 
-def schedule_from_profile(counts, n_lanes, headroom=4, max_divisor=64,
+def schedule_from_profile(counts, n_lanes, headroom=4, max_divisor=16,
                           min_stage_steps=2):
     """Derive a compact_schedule from measured per-bounce alive counts.
 
