@@ -46,6 +46,11 @@ from ..primitive.shapes import OP_INTERSECT, OP_LEAF, OP_SUBTRACT, OP_UNION
 
 __all__ = ["CompiledScene", "compile_scene", "SpectralConfig"]
 
+# minimum simple-analytic-leaf count before the SAH leaf BVH turns on (below
+# this the streaming path's fused per-type kernels win; override with
+# SOURCE_TPU_LEAF_BVH=1 to force on, =0 to force off)
+LEAF_BVH_MIN_LEAVES = 32
+
 
 @dataclasses.dataclass(frozen=True)
 class SpectralConfig:
@@ -93,6 +98,13 @@ class CompiledScene:
     wavelengths: Any = None  # f32[B]
     # triangle meshes (tuple of MeshTables pytrees, one per mesh entity)
     meshes: Any = ()
+    # packed analytic-leaf BVH planes (tracer/pallas_analytic.py) — None
+    # below the leaf-count threshold. The reference analogue is the
+    # primitive kd-tree (core/acceleration/kdtree.pyx:41-180); here it is a
+    # world-space SAH BVH over simple (non-CSG, non-torus) analytic leaves,
+    # packet-traversed by a Pallas kernel so per-ray cost is logarithmic in
+    # leaf count instead of linear.
+    leaf_bvh: Any = None
 
     # --- static structure (aux data) ---
     type_slices: Tuple = dataclasses.field(metadata=dict(static=True), default=())
@@ -108,6 +120,10 @@ class CompiledScene:
     # subclasses — the objects are static scene structure; their methods are
     # traced into the wavefront dispatch (material.pyx:205-390 extension point)
     custom_materials: Tuple = dataclasses.field(metadata=dict(static=True), default=())
+    # (n_nodes, max_leaf, present_types) for leaf_bvh; () when absent
+    leaf_bvh_meta: Tuple = dataclasses.field(metadata=dict(static=True), default=())
+    # GLOBAL leaf ids covered by leaf_bvh (excluded from the streaming path)
+    bvh_leaf_ids: Tuple = dataclasses.field(metadata=dict(static=True), default=())
     has_roughen: bool = dataclasses.field(metadata=dict(static=True), default=False)
     has_importance: bool = dataclasses.field(metadata=dict(static=True), default=False)
     # bin COUNT stays static (array shapes); the wavelength range is traced
@@ -237,6 +253,40 @@ def compile_scene(world: World, spectral: SpectralConfig, dtype=jnp.float32) -> 
             # static jit field, and fresh closures hash by identity, which
             # forced a full recompile on every observe() pass
             csg_entities.append((e, leaf_ids, local_prog))
+
+    # --- analytic leaf BVH (reference: core/acceleration/kdtree.pyx) ---------------
+    # Simple (non-CSG) leaves of the kernel-supported types go into a
+    # world-space SAH BVH that the wavefront tracer packet-traverses in one
+    # Pallas kernel (tracer/pallas_analytic.py); CSG children (need ALL
+    # crossings) and torus leaves (quartic) stay on the streaming path.
+    import os as _os
+
+    from ..tracer.pallas_analytic import BVH_TYPES, pack_leaf_bvh_host
+
+    _force = _os.environ.get("SOURCE_TPU_LEAF_BVH", "")
+    if _force == "1":
+        _bvh_min = 2
+    elif _force == "0":
+        _bvh_min = 1 << 30
+    else:
+        _bvh_min = LEAF_BVH_MIN_LEAVES
+    csg_leaf_set = {g for _, leaf_ids, _ in csg_entities for g in leaf_ids}
+    bvh_rows = [
+        i for i, r in enumerate(leaf_records)
+        if r[0] in BVH_TYPES and i not in csg_leaf_set
+    ]
+    leaf_bvh = None
+    leaf_bvh_meta = ()
+    if len(bvh_rows) >= _bvh_min:
+        tables, meta = pack_leaf_bvh_host(
+            [leaf_records[i][0] for i in bvh_rows],
+            l2w[bvh_rows], w2l[bvh_rows], params[bvh_rows], bvh_rows,
+        )
+        if tables is not None:
+            leaf_bvh = {k: jnp.asarray(v) for k, v in tables.items()}
+            leaf_bvh_meta = meta
+    if leaf_bvh is None:
+        bvh_rows = []
 
     # --- materials -----------------------------------------------------------------
     materials = []
@@ -387,6 +437,9 @@ def compile_scene(world: World, spectral: SpectralConfig, dtype=jnp.float32) -> 
             dtype,
         ),
         meshes=tuple(mesh_tables),
+        leaf_bvh=leaf_bvh,
+        leaf_bvh_meta=leaf_bvh_meta,
+        bvh_leaf_ids=tuple(bvh_rows),
         type_slices=tuple(type_slices),
         n_leaves=n_leaves,
         n_entities=n_entities,

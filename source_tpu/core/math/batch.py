@@ -53,6 +53,8 @@ def safe_pow(base, exp):
 
 
 SELECT_ROWS_MAX = 64
+# above this row count the one-hot [N, L] operand outweighs the gather cost
+SELECT_ROWS_MXU_MAX = 4096
 
 
 def select_rows(table, idx, limit=SELECT_ROWS_MAX):
@@ -66,8 +68,30 @@ def select_rows(table, idx, limit=SELECT_ROWS_MAX):
     rows. Differentiable w.r.t. ``table`` (masked-sum backward).
     """
     L = table.shape[0]
-    if L > limit:
+    if L > SELECT_ROWS_MXU_MAX:
         return table[idx]
+    if L > limit:
+        # mid-size tables: one-hot CONTRACTION on the MXU. Each output row
+        # is an exact copy (exactly one nonzero per one-hot row, f32
+        # HIGHEST precision), the backward is the transposed matmul
+        # (onehot^T @ g, also MXU), and a [N, L] x [L, F] contraction at
+        # L ~ 1000 measures ~10x faster than the serialized dynamic row
+        # gather this replaces (v5e, 131k x 1001 leaf table).
+        import jax as _jax
+
+        flat = table.reshape(L, -1)
+        int_table = not jnp.issubdtype(table.dtype, jnp.floating)
+        if int_table:  # exact in f32 for indices/ids < 2^24
+            flat = flat.astype(jnp.float32)
+        idx_flat = idx.reshape(-1)
+        onehot = (idx_flat[:, None] == jnp.arange(L)[None, :]).astype(flat.dtype)
+        out = _jax.lax.dot_general(
+            onehot, flat, (((1,), (0,)), ((), ())),
+            precision=_jax.lax.Precision.HIGHEST,
+        )
+        if int_table:
+            out = jnp.round(out).astype(table.dtype)
+        return out.reshape(idx.shape + table.shape[1:])
     m_shape = idx.shape + (1,) * (table.ndim - 1)
     out = jnp.zeros(idx.shape + table.shape[1:], table.dtype)
     for l in range(L):

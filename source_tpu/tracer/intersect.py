@@ -34,6 +34,7 @@ from ..compiler.scene import CompiledScene, _program_to_closure
 from .meshtrace import (
     DENSE_TRI_LIMIT, mesh_forest_intersect, mesh_intersect,
 )
+from .pallas_analytic import analytic_bvh_winner
 
 __all__ = ["HitRecord", "intersect_scene", "leaf_candidates", "leaf_contains", "entity_contains", "T_EPS"]
 
@@ -173,13 +174,81 @@ def entity_contains(scene: CompiledScene, point):
     return out
 
 
-def _leaf_normal(scene: CompiledScene, leaf_idx, p_local):
+def _leaf_type_of(scene: CompiledScene, leaf_idx):
+    """Per-ray analytic type of a (gathered) leaf index, from the static
+    type slices."""
+    leaf_type = jnp.zeros_like(leaf_idx)
+    for type_id, start, stop in scene.type_slices:
+        leaf_type = jnp.where(
+            (leaf_idx >= start) & (leaf_idx < stop), type_id, leaf_type
+        )
+    return leaf_type
+
+
+def _leaf_rows(scene: CompiledScene, leaf_idx):
+    """Fused per-ray [w2l | params] row select — ONE one-hot contraction
+    serves both tables (halves the dominant [N, L] one-hot traffic on
+    large scenes). Returns (w2l[N,4,4], params[N,PB]), differentiable."""
+    L = scene.n_leaves
+    fused = jnp.concatenate(
+        [scene.leaf_w2l.reshape(L, 16), scene.leaf_params,
+         scene.leaf_entity.astype(scene.leaf_w2l.dtype)[:, None]], axis=1
+    )
+    rows = vmath.select_rows(fused, leaf_idx)
+    return (rows[..., :16].reshape(leaf_idx.shape + (4, 4)),
+            rows[..., 16:-1],
+            jnp.round(rows[..., -1]).astype(jnp.int32))
+
+
+def _single_leaf_candidates(scene: CompiledScene, leaf_idx, origin, direction,
+                            types=None, rows=None):
+    """Differentiable all-crossings of ONE (gathered) leaf per ray: t[N,K].
+
+    Used to recompute the packet-BVH winner's crossing with gradients —
+    only the winning leaf's test contributes to the output, so this yields
+    cotangents identical to differentiating the full traversal."""
+    w2l, params = (_leaf_rows(scene, leaf_idx) if rows is None else rows)[:2]
+    o_loc = vmath.transform_point(w2l, origin)
+    d_loc = vmath.transform_vector(w2l, direction)
+    lt = _leaf_type_of(scene, leaf_idx)
+    cand = jnp.full(origin.shape[:-1] + (_a.MAX_HITS,), _INF, origin.dtype)
+    present = {t for t, _, _ in scene.type_slices}
+    if types is not None:
+        present &= set(types)
+    for tid, fn in _a.CANDIDATE_FNS.items():
+        if tid not in present:
+            continue
+        m = lt == tid
+        safe = jnp.where(m[:, None], params, _SAFE_PARAMS[None, : params.shape[1]])
+        cand = jnp.where(m[:, None], fn(o_loc, d_loc, safe), cand)
+    return cand
+
+
+def _leaf_contains_single(scene: CompiledScene, leaf_idx, point, rows=None):
+    """Point-in-leaf for ONE (gathered) leaf per ray: bool[N]. Replaces the
+    full [N, L] leaf_contains sweep when only the winning leaf matters."""
+    w2l, params = (_leaf_rows(scene, leaf_idx) if rows is None else rows)[:2]
+    p_loc = vmath.transform_point(w2l, point)
+    lt = _leaf_type_of(scene, leaf_idx)
+    out = jnp.zeros(point.shape[:-1], bool)
+    present = {t for t, _, _ in scene.type_slices}
+    for tid, fn in _a.CONTAINS_FNS.items():
+        if tid not in present:
+            continue
+        m = lt == tid
+        safe = jnp.where(m[:, None], params, _SAFE_PARAMS[None, : params.shape[1]])
+        out = jnp.where(m, fn(p_loc, safe), out)
+    return out
+
+
+def _leaf_normal(scene: CompiledScene, leaf_idx, p_local, params=None):
     """Local outward normal of the (gathered) winning leaf at p_local [N,3].
 
     Dynamic type dispatch via compute-all-and-select — 6 cheap closed forms
     on [N,3] data.
     """
-    params = vmath.select_rows(scene.leaf_params, leaf_idx)  # [N,PB]
+    if params is None:
+        params = vmath.select_rows(scene.leaf_params, leaf_idx)  # [N,PB]
     # leaf type per ray from the static type slices
     leaf_type = jnp.zeros_like(leaf_idx)
     for type_id, start, stop in scene.type_slices:
@@ -213,19 +282,81 @@ def intersect_scene(scene: CompiledScene, origin, direction, t_min_scale=None):
         eps = eps * t_min_scale
 
     E = scene.n_entities
-    t_entity = jnp.full((N, E), _INF, dtype=origin.dtype)
+    use_bvh = scene.leaf_bvh is not None
 
-    # Per-type streaming: each type slice's candidates fold into per-entity
-    # minima IMMEDIATELY, so the full [N, L, K] crossing tensor is never
-    # materialised in HBM (at 500 leaves that tensor is ~1 GB per bounce and
-    # dominates the memory-bound intersection cost). Only the few leaves
-    # owned by CSG entities keep their K candidates for the boundary logic.
+    # running nearest-hit triple across all entity classes; the per-entity
+    # [N, E] distance table is materialised ONLY on the no-BVH streaming
+    # path (for >1k-leaf scenes it would dominate HBM traffic)
+    t_best = jnp.full((N,), _INF, origin.dtype)
+    ent_best = jnp.full((N,), -1, jnp.int32)
+    leaf_best = jnp.zeros((N,), jnp.int32)
+
     csg_leaf_ids = set()
     for _, leaf_ids, _ in scene.csg_entities:
         csg_leaf_ids.update(leaf_ids)
 
     csg_cand = {}  # global leaf id -> [N, K] candidates
-    if scene.n_leaves:
+    if scene.n_leaves and use_bvh:
+        # (a) packet-BVH winner over the covered simple leaves (logarithmic
+        # in leaf count; reference core/acceleration/kdtree.pyx analogue),
+        # then a differentiable recompute of the winner's crossing.
+        _, win_leaf = analytic_bvh_winner(
+            scene.leaf_bvh, scene.leaf_bvh_meta, origin, direction, eps
+        )
+        leaf_c = jnp.maximum(win_leaf, 0)
+        rows_w = _leaf_rows(scene, leaf_c)
+        cand_w = _single_leaf_candidates(
+            scene, leaf_c, origin, direction,
+            types=scene.leaf_bvh_meta[5], rows=rows_w,
+        )
+        pos_w = jnp.where(cand_w > eps[:, None], cand_w, _INF)
+        t_w = jnp.min(pos_w, axis=-1)
+        valid = (win_leaf >= 0) & jnp.isfinite(t_w)
+        t_best = jnp.where(valid, t_w, t_best)
+        ent_best = jnp.where(valid, rows_w[2], ent_best)
+        leaf_best = jnp.where(valid, win_leaf, leaf_best)
+
+        # (b) leftover leaves stream as before: CSG children (the boolean
+        # resolve needs ALL their crossings) and torus simple leaves (the
+        # quartic stays out of the packet kernel)
+        bvh_set = set(scene.bvh_leaf_ids)
+        for type_id, start, stop in scene.type_slices:
+            left = [i for i in range(start, stop) if i not in bvh_set]
+            if not left:
+                continue
+            ids = jnp.asarray(left)
+            w2l = scene.leaf_w2l[ids]
+            params = scene.leaf_params[ids]
+            o_loc, d_loc = _rays_to_local_mxu(w2l, origin, direction)
+            cand_slice = _a.CANDIDATE_FNS[type_id](o_loc, d_loc, params[None, :, :])
+            simple_local = [j for j, g in enumerate(left) if g not in csg_leaf_ids]
+            if simple_local:
+                cand_pos = jnp.where(
+                    cand_slice > eps[:, None, None], cand_slice, _INF
+                )
+                t_leaf = jnp.min(cand_pos, axis=-1)  # [N, l]
+                sub = jnp.asarray(simple_local)
+                t_sub = t_leaf[:, sub]
+                tmin_row = jnp.min(t_sub, axis=1)
+                is_min = t_sub <= tmin_row[:, None]
+                onehot = is_min & (jnp.cumsum(is_min, axis=1) == 1)
+                g_ids = jnp.asarray([left[j] for j in simple_local])
+                win_g = jnp.sum(jnp.where(onehot, g_ids[None, :], 0), axis=1)
+                ent_row = scene.leaf_entity[g_ids]
+                ent_g = jnp.sum(jnp.where(onehot, ent_row[None, :], 0), axis=1)
+                better = tmin_row < t_best
+                t_best = jnp.where(better, tmin_row, t_best)
+                ent_best = jnp.where(better, ent_g.astype(jnp.int32), ent_best)
+                leaf_best = jnp.where(better, win_g.astype(jnp.int32), leaf_best)
+            for j, g in enumerate(left):
+                if g in csg_leaf_ids:
+                    csg_cand[g] = cand_slice[:, j, :]
+    elif scene.n_leaves:
+        # Per-type streaming: each type slice's candidates fold into
+        # per-entity minima IMMEDIATELY, so the full [N, L, K] crossing
+        # tensor is never materialised in HBM. Only the few leaves owned by
+        # CSG entities keep their K candidates for the boundary logic.
+        t_entity = jnp.full((N, E), _INF, dtype=origin.dtype)
         leaf_entity_np = scene.leaf_entity
         for type_id, start, stop in scene.type_slices:
             w2l = scene.leaf_w2l[start:stop]  # [l,4,4]
@@ -248,6 +379,17 @@ def intersect_scene(scene: CompiledScene, origin, direction, t_min_scale=None):
             for g in range(start, stop):
                 if g in csg_leaf_ids:
                     csg_cand[g] = cand_slice[:, g - start, :]
+        # fold the per-entity minima into the running triple
+        ent0 = jnp.argmin(t_entity, axis=-1).astype(jnp.int32)
+        t0 = jnp.min(t_entity, axis=-1)
+        simple_leaf = jnp.asarray(
+            [max(i, 0) for i in scene.simple_leaf_of_entity], dtype=jnp.int32
+        )
+        leaf0 = vmath.select_rows(simple_leaf, ent0)
+        fin0 = jnp.isfinite(t0)
+        t_best = jnp.where(fin0, t0, t_best)
+        ent_best = jnp.where(fin0, ent0, ent_best)
+        leaf_best = jnp.where(fin0, leaf0, leaf_best)
 
     # per-ray bookkeeping for csg winners
     csg_t = []
@@ -309,7 +451,10 @@ def intersect_scene(scene: CompiledScene, origin, direction, t_min_scale=None):
         onehot = is_min & (jnp.cumsum(is_min, axis=-1) == 1)
         bleaf = jnp.sum(jnp.where(onehot, leaf_sorted, 0), axis=-1)
         binside = jnp.any(onehot & inside_b, axis=-1)
-        t_entity = t_entity.at[:, e].set(bt)
+        better = bt < t_best
+        t_best = jnp.where(better, bt, t_best)
+        ent_best = jnp.where(better, e, ent_best)
+        leaf_best = jnp.where(better, bleaf.astype(jnp.int32), leaf_best)
         csg_t.append((e, bt, bleaf, binside))
 
     # mesh entities: stackless BVH traversal in each mesh's local frame
@@ -337,47 +482,58 @@ def intersect_scene(scene: CompiledScene, origin, direction, t_min_scale=None):
             [m for _, _, m in forest], origin, direction, eps
         )
         for (e, slot, _), res in zip(forest, results):
-            t_entity = t_entity.at[:, e].set(
-                jnp.where(res["tri"] >= 0, res["t"], _INF))
+            t_m = jnp.where(res["tri"] >= 0, res["t"], _INF)
+            better = t_m < t_best
+            t_best = jnp.where(better, t_m, t_best)
+            ent_best = jnp.where(better, e, ent_best)
             mesh_win.append((e, slot, res))
     for e, slot, mesh in singles:
         o_loc = vmath.transform_point(mesh.w2l[None], origin)
         d_loc = vmath.transform_vector(mesh.w2l[None], direction)
         res = mesh_intersect(mesh, o_loc, d_loc, eps)
-        t_entity = t_entity.at[:, e].set(jnp.where(res["tri"] >= 0, res["t"], _INF))
+        t_m = jnp.where(res["tri"] >= 0, res["t"], _INF)
+        better = t_m < t_best
+        t_best = jnp.where(better, t_m, t_best)
+        ent_best = jnp.where(better, e, ent_best)
         mesh_win.append((e, slot, res))
 
     # global nearest entity
-    entity = jnp.argmin(t_entity, axis=-1).astype(jnp.int32)
-    t = jnp.min(t_entity, axis=-1)
-    hit = jnp.isfinite(t)
+    entity = ent_best
+    t = t_best
+    hit = jnp.isfinite(t) & (entity >= 0)
     t_safe = jnp.where(hit, t, 0.0)
 
     point = origin + t_safe[:, None] * direction
     delta = jnp.maximum(T_EPS, T_EPS * jnp.abs(t_safe))
 
     if scene.n_leaves:
-        # winning leaf: simple entities own one leaf; csg overrides
-        simple_leaf = jnp.asarray(
-            [max(i, 0) for i in scene.simple_leaf_of_entity], dtype=jnp.int32
-        )
-        leaf = vmath.select_rows(simple_leaf, entity)
-        for e, bt, bleaf, _ in csg_t:
-            leaf = jnp.where(entity == e, bleaf.astype(jnp.int32), leaf)
+        # winning leaf (tracked through the running triple; csg updates
+        # already recorded their boundary leaf)
+        leaf = leaf_best
+
+        # one fused row select serves the normal, its transform AND the
+        # containment test below. When the BVH covers EVERY leaf (no CSG
+        # children, no torus leftovers) the analytic winner on every lane
+        # IS the BVH winner, so its gathered rows are reused instead of a
+        # second one-hot contraction (mesh-winning lanes get overwritten
+        # below either way).
+        if use_bvh and len(scene.bvh_leaf_ids) == scene.n_leaves:
+            rows = rows_w
+        else:
+            rows = _leaf_rows(scene, leaf)
+        w2l, leaf_params = rows[:2]
 
         # outward leaf normal at hit (local -> world with inverse-transpose)
-        w2l = vmath.select_rows(scene.leaf_w2l, leaf)
         p_local = vmath.transform_point(w2l, point)
-        n_local = _leaf_normal(scene, leaf, p_local)
+        n_local = _leaf_normal(scene, leaf, p_local, params=leaf_params)
         n_world = vmath.normalise(vmath.transform_normal(w2l, n_local))
 
-        # solid-inside state before the crossing -> exiting flag + normal sign
-        # simple entities: leaf containment at p - delta*d
+        # solid-inside state before the crossing -> exiting flag + normal
+        # sign. Only the WINNING leaf's containment matters, so test that
+        # single gathered leaf instead of sweeping all L (the full [N, L]
+        # sweep was the other linear-in-leaves HBM term).
         p_before = origin + (t_safe - delta)[:, None] * direction
-        lc_before = leaf_contains(scene, p_before)  # [N, L]
-        # one-hot row pick (take_along_axis gathers serialize on TPU)
-        leaf_onehot = leaf[:, None] == jnp.arange(scene.n_leaves)[None, :]
-        inside_before = jnp.any(lc_before & leaf_onehot, axis=-1)
+        inside_before = _leaf_contains_single(scene, leaf, p_before, rows=rows)
     else:
         leaf = jnp.zeros((N,), jnp.int32)
         n_world = jnp.zeros_like(point)

@@ -45,6 +45,8 @@ from ..optical.material.base import (
     VOL_HOMOGENEOUS,
     VOL_INHOMOGENEOUS,
 )
+from ..compiler.scene import _program_to_closure
+from ..primitive import analytic as _a
 from .intersect import HitRecord, entity_contains, intersect_scene
 
 __all__ = ["RayConfig", "RayState", "init_rays", "trace_rays", "trace_rays_diff",
@@ -543,6 +545,52 @@ def _surface_interaction(scene: CompiledScene, cfg: RayConfig, state: RayState,
     return new_origin, new_direction, thr_mul, emission, continues, counts_depth
 
 
+def _static_leaf_type(scene: CompiledScene, g):
+    """Analytic type of a STATIC leaf index from the type slices."""
+    for type_id, start, stop in scene.type_slices:
+        if start <= g < stop:
+            return type_id
+    raise IndexError(f"leaf {g} outside type slices")
+
+
+def _entity_inside(scene: CompiledScene, e, point):
+    """Containment of ONE entity at point[N,3], testing only ITS OWN leaves
+    with static table rows. The volume stage previously swept every leaf in
+    the scene per bounce (entity_contains) — linear-in-L HBM traffic that
+    only the handful of volume-active entities needed."""
+    for ce, leaf_ids, program in scene.csg_entities:
+        if ce == e:
+            cols = []
+            for g in leaf_ids:
+                tid = _static_leaf_type(scene, g)
+                p_loc = vmath.transform_point(scene.leaf_w2l[g][None], point)
+                cols.append(
+                    _a.CONTAINS_FNS[tid](p_loc, scene.leaf_params[g][None])
+                )
+            return _program_to_closure(program)(jnp.stack(cols, axis=-1))
+    g = scene.simple_leaf_of_entity[e]
+    if g >= 0:
+        tid = _static_leaf_type(scene, g)
+        p_loc = vmath.transform_point(scene.leaf_w2l[g][None], point)
+        return _a.CONTAINS_FNS[tid](p_loc, scene.leaf_params[g][None])
+    for me, slot in scene.mesh_entities:
+        if me == e:
+            mesh = scene.meshes[slot]
+            if not mesh.closed:
+                return jnp.zeros(point.shape[:-1], bool)
+            from .meshtrace import mesh_intersect as _mi
+            o_loc = vmath.transform_point(mesh.w2l[None], point)
+            d_loc = vmath.transform_vector(
+                mesh.w2l[None],
+                jnp.broadcast_to(
+                    jnp.asarray([0.0, 0.0, 1.0], point.dtype), point.shape
+                ),
+            )
+            res = _mi(mesh, o_loc, d_loc, jnp.zeros(point.shape[0], point.dtype))
+            return (res["tri"] >= 0) & ~res["front"]
+    return jnp.zeros(point.shape[:-1], bool)
+
+
 def _volume_interaction(scene: CompiledScene, state: RayState, rec: HitRecord):
     """Apply volume responses along the traversed segment
     (optical/ray.pyx:422-455). Static unrolled loop over volume-active
@@ -551,11 +599,10 @@ def _volume_interaction(scene: CompiledScene, state: RayState, rec: HitRecord):
         return state.throughput, jnp.zeros_like(state.radiance)
     t_seg = jnp.where(rec.hit, rec.t, 0.0)
     midpoint = state.origin + 0.5 * t_seg[:, None] * state.direction
-    inside = entity_contains(scene, midpoint)  # [N, E]
     throughput = state.throughput
     emission = jnp.zeros_like(state.radiance)
     for e, mat_idx, kind, mat_obj, leaf_idx, mesh_slot, intervals in scene.volume_entities:
-        m = inside[:, e] & rec.hit
+        m = _entity_inside(scene, e, midpoint) & rec.hit
         spec = scene.mat_spectra[mat_idx]  # [NSLOTS, B]
         if kind == VOL_BEER:
             # transmission^length (dielectric.pyx:313-328); safe_pow keeps
