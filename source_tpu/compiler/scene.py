@@ -46,10 +46,13 @@ from ..primitive.shapes import OP_INTERSECT, OP_LEAF, OP_SUBTRACT, OP_UNION
 
 __all__ = ["CompiledScene", "compile_scene", "SpectralConfig"]
 
-# minimum simple-analytic-leaf count before the SAH leaf BVH turns on (below
-# this the streaming path's fused per-type kernels win; override with
-# SOURCE_TPU_LEAF_BVH=1 to force on, =0 to force off)
-LEAF_BVH_MIN_LEAVES = 32
+# minimum simple-analytic-leaf count for building the packed leaf-BVH
+# tables. On TPU the packet kernel beats the streaming path at EVERY scene
+# size (the 9-leaf glass Cornell intersection was 78% of its forward pass
+# through streaming), so tables are built for any analytic scene; the
+# tracer still falls back to streaming off-TPU (interpret-mode Pallas) and
+# SOURCE_TPU_LEAF_BVH=0 forces the tables off entirely.
+LEAF_BVH_MIN_LEAVES = 2
 
 
 @dataclasses.dataclass(frozen=True)

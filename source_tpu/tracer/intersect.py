@@ -282,7 +282,13 @@ def intersect_scene(scene: CompiledScene, origin, direction, t_min_scale=None):
         eps = eps * t_min_scale
 
     E = scene.n_entities
-    use_bvh = scene.leaf_bvh is not None
+    # the packet kernel pays off on real TPU hardware; off-TPU the
+    # interpret-mode Pallas walk is orders slower than streaming, so only
+    # an explicit override (tests) engages it there
+    use_bvh = scene.leaf_bvh is not None and (
+        jax.default_backend() == "tpu"
+        or os.environ.get("SOURCE_TPU_LEAF_BVH", "") == "1"
+    )
 
     # running nearest-hit triple across all entity classes; the per-entity
     # [N, E] distance table is materialised ONLY on the no-BVH streaming
@@ -301,7 +307,10 @@ def intersect_scene(scene: CompiledScene, origin, direction, t_min_scale=None):
         # in leaf count; reference core/acceleration/kdtree.pyx analogue),
         # then a differentiable recompute of the winner's crossing.
         _, win_leaf = analytic_bvh_winner(
-            scene.leaf_bvh, scene.leaf_bvh_meta, origin, direction, eps
+            scene.leaf_bvh, scene.leaf_bvh_meta, origin, direction, eps,
+            # coherence sorting only pays when the tree is deep enough for
+            # divergent packets to visit very different node sets
+            sort_rays=len(scene.bvh_leaf_ids) >= 64,
         )
         leaf_c = jnp.maximum(win_leaf, 0)
         rows_w = _leaf_rows(scene, leaf_c)

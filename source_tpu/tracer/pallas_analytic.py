@@ -554,17 +554,37 @@ def analytic_bvh_winner(tables, meta, origin, direction, t_min,
                             memory_space=pltpu.VMEM)
     kernel = functools.partial(_kernel, int(n_nodes), int(max_leaf),
                                tuple(present))
-    t, leaf = pl.pallas_call(
-        kernel,
-        grid=(grid,),
-        in_specs=[ray_spec, ray_spec, tmin_spec] + [table_spec] * 2,
-        out_specs=(out_spec, out_spec),
-        out_shape=(
-            jax.ShapeDtypeStruct((rows, _LANES), jnp.float32),
-            jax.ShapeDtypeStruct((rows, _LANES), jnp.int32),
-        ),
-        interpret=jax.default_backend() != "tpu",
-    )(o_p, d_p, t_p, tables["nodes"], tables["leaves"])
+
+    def _run(o_p, d_p, t_p, nodes, leaves):
+        return pl.pallas_call(
+            kernel,
+            grid=(grid,),
+            in_specs=[ray_spec, ray_spec, tmin_spec] + [table_spec] * 2,
+            out_specs=(out_spec, out_spec),
+            out_shape=(
+                jax.ShapeDtypeStruct((rows, _LANES), jnp.float32),
+                jax.ShapeDtypeStruct((rows, _LANES), jnp.int32),
+            ),
+            interpret=jax.default_backend() != "tpu",
+        )(o_p, d_p, t_p, nodes, leaves)
+
+    # the traversal is an argmin — piecewise constant — so it carries NO
+    # tangents: a custom_vjp with zero cotangents lets jax.checkpoint /
+    # reverse-mode linearize straight through (stop_gradient alone is not
+    # enough — linearization still demands a JVP rule for pallas_call)
+    run = jax.custom_vjp(_run)
+    _zero_cots = (
+        lambda: jnp.zeros((3, rows, _LANES), jnp.float32),
+        lambda: jnp.zeros((3, rows, _LANES), jnp.float32),
+        lambda: jnp.zeros((1, rows, _LANES), jnp.float32),
+        lambda: jnp.zeros(tables["nodes"].shape, jnp.float32),
+        lambda: jnp.zeros(tables["leaves"].shape, jnp.float32),
+    )
+    run.defvjp(
+        lambda *a: (_run(*a), None),
+        lambda res, g: tuple(z() for z in _zero_cots),
+    )
+    t, leaf = run(o_p, d_p, t_p, tables["nodes"], tables["leaves"])
     t = t.reshape(n_pad)[:N]
     leaf = leaf.reshape(n_pad)[:N]
     if order is not None:

@@ -13,6 +13,14 @@ import os
 import numpy as np
 import pytest
 
+
+@pytest.fixture(autouse=True)
+def _force_bvh(monkeypatch):
+    # trace-time opt-in: off-TPU the tracer only takes the packet-kernel
+    # path (interpret mode) under this override — scoped to THIS module so
+    # the rest of the CPU suite keeps the fast streaming path
+    monkeypatch.setenv("SOURCE_TPU_LEAF_BVH", "1")
+
 import jax
 import jax.numpy as jnp
 
@@ -28,6 +36,7 @@ from source_tpu.tracer.intersect import intersect_scene
 
 
 def _scene(force):
+    prev = os.environ.get("SOURCE_TPU_LEAF_BVH")
     os.environ["SOURCE_TPU_LEAF_BVH"] = force
     try:
         w = World()
@@ -58,7 +67,10 @@ def _scene(force):
         )
         return compile_scene(w, SpectralConfig(400.0, 700.0, 4))
     finally:
-        os.environ.pop("SOURCE_TPU_LEAF_BVH", None)
+        if prev is None:
+            os.environ.pop("SOURCE_TPU_LEAF_BVH", None)
+        else:
+            os.environ["SOURCE_TPU_LEAF_BVH"] = prev
 
 
 @pytest.fixture(scope="module")
