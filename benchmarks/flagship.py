@@ -19,8 +19,13 @@ MAX_DEPTH = 16
 MAX_ITERS = 24
 COMPACT = ((3, 4), (3, 4))
 # measured on v5e: per-bounce checkpointing beats blocked remat at this
-# batch size (the trace is launch-bound, not HBM-bound — see RayConfig)
+# batch size (the trace is launch-bound, not HBM-bound — see RayConfig);
+# remat 0 (save-all) measured 72.5 ms vs 66.1 ms, remat 2 88 ms.
 REMAT_BLOCK = 1
+# spectral state stored in bf16 (arithmetic still f32): measured 66 -> 61
+# ms fwd+bwd; per-ray deviation vs f32 is 1.2% relative against ~300%
+# per-ray MC noise (tests/test_bf16_state.py pins the property)
+SPECTRAL_DTYPE = "bfloat16"
 
 
 def build():
@@ -42,6 +47,7 @@ def build():
         max_iters=MAX_ITERS,
         compact_schedule=COMPACT,
         remat_block=REMAT_BLOCK,
+        spectral_dtype=SPECTRAL_DTYPE,
     )
 
     n = WIDTH * HEIGHT

@@ -210,6 +210,11 @@ class ObserverBase(_SceneObserver):
         self._ray_max_depth = 500
         self._ray_importance_sampling = True
         self._ray_important_path_weight = 0.25
+        # spectral-state storage dtype for the wavefront trace: "float32"
+        # (default) or "bfloat16" (halves the dominant per-bounce HBM
+        # traffic; ~1% per-ray rounding vs ~300% per-ray MC noise on the
+        # flagship scene — see RayConfig.spectral_dtype)
+        self.ray_spectral_dtype = "float32"
 
         # sampling configuration
         self.pixel_samples = 100
@@ -362,6 +367,7 @@ class ObserverBase(_SceneObserver):
             important_path_weight=self._ray_important_path_weight,
             max_iters=self.max_wavefront_iters,
             compact_schedule=tuple(schedule),
+            spectral_dtype=self.ray_spectral_dtype,
         )
 
     def _resolve_compact_schedule(self, scene, cfg0, px, py, cam_to_world,
@@ -579,9 +585,12 @@ class ObserverBase(_SceneObserver):
             )
             o = vmath.transform_point(cam_to_world, o_loc.reshape(-1, 3))
             d = vmath.normalise(vmath.transform_vector(cam_to_world, d_loc.reshape(-1, 3)))
-            state = init_rays(o, d, bins, weight=w.reshape(-1))
+            state = init_rays(o, d, bins, weight=w.reshape(-1),
+                              spectral_dtype=cfg.spectral_dtype)
             final = trace_rays(scene, cfg, state, jax.random.fold_in(key, 7))
-            spectra = final.radiance.reshape(T, spp, bins)
+            # statistics accumulate in f32 regardless of the trace state
+            # dtype (bf16 sums over the sample axis would round badly)
+            spectra = final.radiance.astype(jnp.float32).reshape(T, spp, bins)
             outs = tuple(
                 pipe.project(spectra, c, sensitivity, px, py)
                 for pipe, c in zip(projections, consts)

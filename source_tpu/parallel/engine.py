@@ -67,7 +67,8 @@ def render_batch(scene: CompiledScene, cfg: RayConfig, origin, direction, key,
                  weight=None, differentiable=False):
     """Trace a ray batch and return the final RayState. The shared device
     entry point used by engines, the bench and the graft entry."""
-    state = init_rays(origin, direction, scene.bins, weight)
+    state = init_rays(origin, direction, scene.bins, weight,
+                      spectral_dtype=cfg.spectral_dtype)
     tracer = trace_rays_diff if differentiable else trace_rays
     return tracer(scene, cfg, state, key)
 

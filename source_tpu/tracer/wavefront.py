@@ -89,6 +89,14 @@ class RayConfig:
     # trace is launch/occupancy-bound, so recompute is pure overhead. Use
     # >1 only for very large ray batches that are bandwidth-bound.
     remat_block: int = 1
+    # storage dtype for the spectral path state (throughput/radiance and
+    # the [N, B] material intermediates feeding them): "float32" (default,
+    # bit-faithful to the reference estimator) or "bfloat16" (halves the
+    # dominant per-bounce HBM traffic; all reductions/compares still run
+    # in f32 via promotion, only the stored state rounds — the added
+    # rounding noise is measured against MC noise in
+    # tests/test_bf16_state.py and BASELINE.md)
+    spectral_dtype: str = "float32"
 
 
 @jax.tree_util.register_dataclass
@@ -107,17 +115,18 @@ class RayState:
     overflow: Any
 
 
-def init_rays(origin, direction, bins, weight=None):
+def init_rays(origin, direction, bins, weight=None, spectral_dtype=None):
     """Fresh ray state for a batch of camera rays."""
     N = origin.shape[0]
-    throughput = jnp.ones((N, bins), origin.dtype)
+    sdt = jnp.dtype(spectral_dtype) if spectral_dtype else origin.dtype
+    throughput = jnp.ones((N, bins), sdt)
     if weight is not None:
-        throughput = throughput * weight[:, None]
+        throughput = throughput * weight[:, None].astype(sdt)
     return RayState(
         origin=origin,
         direction=direction,
         throughput=throughput,
-        radiance=jnp.zeros((N, bins), origin.dtype),
+        radiance=jnp.zeros((N, bins), sdt),
         alive=jnp.ones(N, dtype=bool),
         depth=jnp.zeros(N, dtype=jnp.int32),
         segments=jnp.zeros((), jnp.int32),
@@ -240,7 +249,11 @@ def _surface_interaction(scene: CompiledScene, cfg: RayConfig, state: RayState,
             lane_weight = jnp.where(is_mix, lane_weight * add_weight, lane_weight)
 
     mat_types = vmath.select_rows(jnp.asarray(scene.mat_types, jnp.int32), mat_id)  # [N]
-    spectra = vmath.select_rows(scene.mat_spectra, mat_id)  # [N, NSLOTS, B]
+    # the built-in dispatch only reads spectral slots 0-1; gathering the
+    # full NSLOTS=4 table doubles the dominant [N, slots, B] per-bounce
+    # traffic, so the tail slots ride along only for user BSDFs
+    n_slots = scene.mat_spectra.shape[1] if scene.custom_materials else 2
+    spectra = vmath.select_rows(scene.mat_spectra[:, :n_slots], mat_id)  # [N, n_slots, B]
     params = vmath.select_rows(scene.mat_params, mat_id)  # [N, NPARAMS]
     scalars = vmath.select_rows(scene.mat_scalars, mat_id)  # [N, NSCALARS]
 
@@ -733,11 +746,14 @@ def trace_step(scene: CompiledScene, cfg: RayConfig, state: RayState, step_key,
     direction = jnp.where(active[:, None], new_dir, state.direction)
     depth = state.depth + jnp.where(active & counts_depth, 1, 0)
 
+    # promotions run the math in f32; storage rounds back to the state's
+    # spectral dtype (bf16 halves the dominant carry/intermediate traffic)
+    sdt = state.throughput.dtype
     return RayState(
         origin=origin,
         direction=direction,
-        throughput=throughput,
-        radiance=radiance,
+        throughput=throughput.astype(sdt),
+        radiance=radiance.astype(sdt),
         alive=alive_next,
         depth=depth,
         segments=state.segments + jnp.sum(alive.astype(jnp.int32)),
@@ -773,7 +789,9 @@ def _compact_lanes(st: RayState, divisor: int, lane_ids, radiance_full, key):
     radiance_full = radiance_full.at[lane_ids].set(st.radiance)
     lane_ids = lane_ids[keep]
     alive_kept = st.alive[keep]
-    thr_kept = st.throughput[keep] * jnp.where(alive_kept, overflow_scale, 1.0)[:, None]
+    thr_kept = (
+        st.throughput[keep] * jnp.where(alive_kept, overflow_scale, 1.0)[:, None]
+    ).astype(st.throughput.dtype)
     sub = RayState(
         origin=st.origin[keep],
         direction=st.direction[keep],
@@ -880,17 +898,20 @@ def trace_rays_diff(scene: CompiledScene, cfg: RayConfig, state: RayState, key):
 
     n_u = _n_uniforms(scene)
 
-    @jax.checkpoint
-    def block(st, xs):
+    def _block(st, xs):
         """One checkpoint block of remat_block bounces: the carry is saved
         to HBM only at block boundaries; inner bounces recompute in the
-        backward pass (cfg.remat_block rationale above)."""
+        backward pass (cfg.remat_block rationale above). remat_block=0
+        disables rematerialisation entirely — every bounce's primals are
+        saved for the backward pass (more HBM, no recompute)."""
 
         def inner(s, ui):
             return trace_step(scene, cfg, s, None, u=ui), None
 
         st, _ = jax.lax.scan(inner, st, xs)
         return st, None
+
+    block = _block if cfg.remat_block == 0 else jax.checkpoint(_block)
 
     def run_span(st, start, stop):
         """Scan [start, stop) bounces in remat blocks (remainder block last),
