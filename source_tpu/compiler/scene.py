@@ -284,6 +284,7 @@ def compile_scene(world: World, spectral: SpectralConfig, dtype=jnp.float32) -> 
         tables, meta = pack_leaf_bvh_host(
             [leaf_records[i][0] for i in bvh_rows],
             l2w[bvh_rows], w2l[bvh_rows], params[bvh_rows], bvh_rows,
+            leaf_entities=[leaf_entity[i] for i in bvh_rows],
         )
         if tables is not None:
             leaf_bvh = {k: jnp.asarray(v) for k, v in tables.items()}

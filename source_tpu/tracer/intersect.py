@@ -268,11 +268,17 @@ def _leaf_normal(scene: CompiledScene, leaf_idx, p_local, params=None):
     return n
 
 
-def intersect_scene(scene: CompiledScene, origin, direction, t_min_scale=None):
+def intersect_scene(scene: CompiledScene, origin, direction, t_min_scale=None,
+                    need_grad=True):
     """Nearest-hit query for a ray batch.
 
     origin/direction: f32[N,3] world space (direction unit length).
     Returns a HitRecord.
+
+    ``need_grad=False`` (forward-only tracing, e.g. ``trace_rays`` /
+    observers) lets full-coverage leaf-BVH scenes consume the packet
+    kernel's complete winner record (t/entity/normal/exiting) directly,
+    skipping the differentiable one-hot recompute entirely.
     """
     N = origin.shape[0]
     eps = T_EPS * jnp.maximum(
@@ -302,28 +308,43 @@ def intersect_scene(scene: CompiledScene, origin, direction, t_min_scale=None):
         csg_leaf_ids.update(leaf_ids)
 
     csg_cand = {}  # global leaf id -> [N, K] candidates
+    fast_path = False
+    win = None
+    rows_w = None
     if scene.n_leaves and use_bvh:
         # (a) packet-BVH winner over the covered simple leaves (logarithmic
         # in leaf count; reference core/acceleration/kdtree.pyx analogue),
         # then a differentiable recompute of the winner's crossing.
-        _, win_leaf = analytic_bvh_winner(
+        win = analytic_bvh_winner(
             scene.leaf_bvh, scene.leaf_bvh_meta, origin, direction, eps,
             # coherence sorting only pays when the tree is deep enough for
             # divergent packets to visit very different node sets
             sort_rays=len(scene.bvh_leaf_ids) >= 64,
         )
-        leaf_c = jnp.maximum(win_leaf, 0)
-        rows_w = _leaf_rows(scene, leaf_c)
-        cand_w = _single_leaf_candidates(
-            scene, leaf_c, origin, direction,
-            types=scene.leaf_bvh_meta[5], rows=rows_w,
-        )
-        pos_w = jnp.where(cand_w > eps[:, None], cand_w, _INF)
-        t_w = jnp.min(pos_w, axis=-1)
-        valid = (win_leaf >= 0) & jnp.isfinite(t_w)
-        t_best = jnp.where(valid, t_w, t_best)
-        ent_best = jnp.where(valid, rows_w[2], ent_best)
-        leaf_best = jnp.where(valid, win_leaf, leaf_best)
+        win_leaf = win["leaf"]
+        # forward-only tracing on a fully-covered scene consumes the
+        # kernel's complete record; the differentiable path recomputes the
+        # winner's crossing so geometry cotangents flow into the tables
+        fast_path = (not need_grad) and len(scene.bvh_leaf_ids) == scene.n_leaves
+        if fast_path:
+            rows_w = None
+            valid = win_leaf >= 0
+            t_best = jnp.where(valid, win["t"], t_best)
+            ent_best = jnp.where(valid, win["entity"], ent_best)
+            leaf_best = jnp.where(valid, win_leaf, leaf_best)
+        else:
+            leaf_c = jnp.maximum(win_leaf, 0)
+            rows_w = _leaf_rows(scene, leaf_c)
+            cand_w = _single_leaf_candidates(
+                scene, leaf_c, origin, direction,
+                types=scene.leaf_bvh_meta[5], rows=rows_w,
+            )
+            pos_w = jnp.where(cand_w > eps[:, None], cand_w, _INF)
+            t_w = jnp.min(pos_w, axis=-1)
+            valid = (win_leaf >= 0) & jnp.isfinite(t_w)
+            t_best = jnp.where(valid, t_w, t_best)
+            ent_best = jnp.where(valid, rows_w[2], ent_best)
+            leaf_best = jnp.where(valid, win_leaf, leaf_best)
 
         # (b) leftover leaves stream as before: CSG children (the boolean
         # resolve needs ALL their crossings) and torus simple leaves (the
@@ -515,7 +536,14 @@ def intersect_scene(scene: CompiledScene, origin, direction, t_min_scale=None):
     point = origin + t_safe[:, None] * direction
     delta = jnp.maximum(T_EPS, T_EPS * jnp.abs(t_safe))
 
-    if scene.n_leaves:
+    if scene.n_leaves and fast_path:
+        # forward-only full-coverage scenes: the kernel already produced
+        # the winner's unit outward normal and origin-containment flag —
+        # no host-side row selects at all (mesh winners overwrite below)
+        leaf = leaf_best
+        n_world = win["normal"]
+        inside_before = win["inside"]
+    elif scene.n_leaves:
         # winning leaf (tracked through the running triple; csg updates
         # already recorded their boundary leaf)
         leaf = leaf_best
@@ -526,7 +554,7 @@ def intersect_scene(scene: CompiledScene, origin, direction, t_min_scale=None):
         # IS the BVH winner, so its gathered rows are reused instead of a
         # second one-hot contraction (mesh-winning lanes get overwritten
         # below either way).
-        if use_bvh and len(scene.bvh_leaf_ids) == scene.n_leaves:
+        if use_bvh and rows_w is not None and len(scene.bvh_leaf_ids) == scene.n_leaves:
             rows = rows_w
         else:
             rows = _leaf_rows(scene, leaf)

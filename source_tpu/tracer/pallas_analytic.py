@@ -90,7 +90,8 @@ def _local_aabb(type_id, p):
     raise ValueError(f"Unknown analytic type {type_id}")
 
 
-def pack_leaf_bvh_host(leaf_types, l2w, w2l, params, leaf_ids, max_leaf=4):
+def pack_leaf_bvh_host(leaf_types, l2w, w2l, params, leaf_ids,
+                       leaf_entities=None, max_leaf=4):
     """Host-side packing: SAH BVH over the world AABBs of the given leaves
     plus BVH-ordered leaf record planes for the packet kernel.
 
@@ -98,6 +99,8 @@ def pack_leaf_bvh_host(leaf_types, l2w, w2l, params, leaf_ids, max_leaf=4):
     l2w/w2l:    f64[n,4,4] local<->world transforms
     params:     f64[n,8] param blocks
     leaf_ids:   int[n] GLOBAL leaf index of each row (the kernel's output id)
+    leaf_entities: int[n] owning entity per row (rides the record so the
+                   forward path needs no host-side entity select)
 
     Returns (tables dict, (n_nodes, max_leaf, present_types)) or
     (None, None) if the count exceeds f32-exact indexing.
@@ -177,10 +180,13 @@ def pack_leaf_bvh_host(leaf_types, l2w, w2l, params, leaf_ids, max_leaf=4):
          bvh.node_hi[:, 0], bvh.node_hi[:, 1], bvh.node_hi[:, 2],
          bvh.node_skip.astype(np.float64), bvh.node_first.astype(np.float64),
          bvh.node_count.astype(np.float64)], axis=1)
+    ents = (np.zeros(len(order)) if leaf_entities is None
+            else np.asarray(leaf_entities)[order].astype(np.float64))
     leaves = np.stack(
         [w2l_o[:, r, c] for r in range(3) for c in range(4)]
         + [params_o[:, k] for k in range(8)]
-        + [types_o.astype(np.float64), ids_o.astype(np.float64)], axis=1)
+        + [types_o.astype(np.float64), ids_o.astype(np.float64), ents],
+        axis=1)
     # fast records overwrite the (unused) leading transform slots
     fast = types_o >= KT_SPHERE_W
     leaves[fast, :8] = fast_fields[fast]
@@ -200,8 +206,12 @@ def pack_leaf_bvh_host(leaf_types, l2w, w2l, params, leaf_ids, max_leaf=4):
 
 # --- component-wise nearest-positive-crossing closed forms -------------------
 # Ports of primitive/analytic.py candidate functions restructured for the
-# kernel's register layout: all args/returns are (8,128) f32; returns the
-# smallest boundary crossing strictly greater than t_min, else +BIG.
+# kernel's register layout: all args/returns are (8,128) f32; each returns
+# (t, inside) — the smallest boundary crossing strictly greater than t_min
+# (else +BIG) plus the ray-origin containment flag (convex solids: origin
+# inside <=> the winning crossing is an exit, the reference's 'exiting').
+# The LOCAL outward normals at the crossing are computed by the matching
+# _NORMAL_FNS entry (ports of primitive/analytic.py normal functions).
 
 
 def _quad_interval(a, b, c):
@@ -236,7 +246,11 @@ def _hit_sphere(o, d, p, t_min):
     b = 2.0 * (ox * dx + oy * dy + oz * dz)
     c = ox * ox + oy * oy + oz * oz - r * r
     lo, hi, v = _quad_interval(a, b, c)
-    return _first_after(t_min, (lo, v), (hi, v))
+    return _first_after(t_min, (lo, v), (hi, v)), jnp.where(c < 0.0, 1.0, 0.0)
+
+
+def _n_sphere(p_loc, pp):
+    return p_loc
 
 
 def _hit_box(o, d, p, t_min):
@@ -257,7 +271,31 @@ def _hit_box(o, d, p, t_min):
     hi = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
                      jnp.maximum(t0z, t1z))
     v = hi >= lo
-    return _first_after(t_min, (lo, v), (hi, v))
+    inside = ((ox >= p[0]) & (ox <= p[3]) & (oy >= p[1]) & (oy <= p[4])
+              & (oz >= p[2]) & (oz <= p[5]))
+    return _first_after(t_min, (lo, v), (hi, v)), jnp.where(inside, 1.0, 0.0)
+
+
+def _box_face_normal(px, py, pz, lx, ly, lz, hx, hy, hz):
+    """Largest-|normalised-coordinate| face pick (analytic.normal_box)."""
+    cx, cy, cz = 0.5 * (lx + hx), 0.5 * (ly + hy), 0.5 * (lz + hz)
+    ex = jnp.maximum(0.5 * (hx - lx), 1e-30)
+    ey = jnp.maximum(0.5 * (hy - ly), 1e-30)
+    ez = jnp.maximum(0.5 * (hz - lz), 1e-30)
+    qx, qy, qz = (px - cx) / ex, (py - cy) / ey, (pz - cz) / ez
+    ax, ay, az = jnp.abs(qx), jnp.abs(qy), jnp.abs(qz)
+    on_x = (ax >= ay) & (ax >= az)
+    on_y = ~on_x & (ay >= az)
+    on_z = ~on_x & ~on_y
+    sgn = lambda q: jnp.where(q >= 0.0, 1.0, -1.0)
+    return (jnp.where(on_x, sgn(qx), 0.0),
+            jnp.where(on_y, sgn(qy), 0.0),
+            jnp.where(on_z, sgn(qz), 0.0))
+
+
+def _n_box(p_loc, pp):
+    return _box_face_normal(p_loc[0], p_loc[1], p_loc[2],
+                            pp[0], pp[1], pp[2], pp[3], pp[4], pp[5])
 
 
 def _hit_cylinder(o, d, p, t_min):
@@ -284,7 +322,24 @@ def _hit_cylinder(o, d, p, t_min):
     lo = jnp.maximum(tube_lo, slab_lo)
     hi = jnp.minimum(tube_hi, slab_hi)
     v = hi >= lo
-    return _first_after(t_min, (lo, v), (hi, v))
+    inside = (c <= 0.0) & (oz >= 0.0) & (oz <= h)
+    return _first_after(t_min, (lo, v), (hi, v)), jnp.where(inside, 1.0, 0.0)
+
+
+def _n_cylinder(p_loc, pp):
+    px, py, pz = p_loc
+    r, h = pp[0], pp[1]
+    rad = jnp.sqrt(px * px + py * py + 1e-12)
+    d_side = jnp.abs(rad - r)
+    d_bot = jnp.abs(pz)
+    d_top = jnp.abs(pz - h)
+    side = (d_side <= d_bot) & (d_side <= d_top)
+    bot = ~side & (d_bot <= d_top)
+    top = ~side & ~bot
+    nx = jnp.where(side, px / rad, 0.0)
+    ny = jnp.where(side, py / rad, 0.0)
+    nz = jnp.where(bot, -1.0, jnp.where(top, 1.0, 0.0))
+    return nx, ny, nz
 
 
 def _hit_cone(o, d, p, t_min):
@@ -308,7 +363,24 @@ def _hit_cone(o, d, p, t_min):
     px = ox + tc * dx
     py = oy + tc * dy
     vc = nz & (px * px + py * py <= r * r)
-    return _first_after(t_min, (qlo, v0), (qhi, v1), (tc, vc))
+    lim = k * (h - oz)
+    inside = (oz >= 0.0) & (oz <= h) & (ox * ox + oy * oy <= lim * lim)
+    return _first_after(t_min, (qlo, v0), (qhi, v1), (tc, vc)), jnp.where(inside, 1.0, 0.0)
+
+
+def _n_cone(p_loc, pp):
+    px, py, pz = p_loc
+    r, h = pp[0], pp[1]
+    k = r / h
+    rad = jnp.sqrt(px * px + py * py + 1e-12)
+    d_cap = jnp.abs(pz)
+    inv = 1.0 / jnp.sqrt(1.0 + k * k)
+    d_cone = jnp.abs(rad - k * (h - pz)) * inv
+    cap = d_cap <= d_cone
+    nx = jnp.where(cap, 0.0, px / rad * inv)
+    ny = jnp.where(cap, 0.0, py / rad * inv)
+    nz = jnp.where(cap, -1.0, k * inv)
+    return nx, ny, nz
 
 
 def _hit_parabola(o, d, p, t_min):
@@ -331,14 +403,30 @@ def _hit_parabola(o, d, p, t_min):
     zl = oz + tl * dz
     vl = lin & b_ok & (zl >= 0.0) & (zl <= h)
     t0 = jnp.where(lin, tl, qlo)
-    v0 = jnp.where(lin, vl, v0)
-    v1 = jnp.where(lin, False, v1)
+    # boolean algebra, not select: Mosaic rejects vector selects on i1
+    v0 = (lin & vl) | (~lin & v0)
+    v1 = v1 & ~lin
     nz = jnp.abs(dz) > 1e-30
     tc = -oz / jnp.where(nz, dz, 1e-30)
     px = ox + tc * dx
     py = oy + tc * dy
     vc = nz & (px * px + py * py <= r * r)
-    return _first_after(t_min, (t0, v0), (qhi, v1), (tc, vc))
+    inside = (oz >= 0.0) & (oz <= h) & (ox * ox + oy * oy <= a4 * (h - oz))
+    return _first_after(t_min, (t0, v0), (qhi, v1), (tc, vc)), jnp.where(inside, 1.0, 0.0)
+
+
+def _n_parabola(p_loc, pp):
+    px, py, pz = p_loc
+    r, h = pp[0], pp[1]
+    a4 = r * r / h
+    d_cap = jnp.abs(pz)
+    rad2 = px * px + py * py
+    surf = jnp.abs(rad2 + a4 * (pz - h))
+    cap = d_cap <= surf * 0.5
+    nx = jnp.where(cap, 0.0, 2.0 * px)
+    ny = jnp.where(cap, 0.0, 2.0 * py)
+    nz = jnp.where(cap, -1.0, a4)
+    return nx, ny, nz
 
 
 _HIT_FNS = {
@@ -349,10 +437,18 @@ _HIT_FNS = {
     TYPE_PARABOLA: _hit_parabola,
 }
 
+_NORMAL_FNS = {
+    TYPE_SPHERE: _n_sphere,
+    TYPE_BOX: _n_box,
+    TYPE_CYLINDER: _n_cylinder,
+    TYPE_CONE: _n_cone,
+    TYPE_PARABOLA: _n_parabola,
+}
+
 
 def _kernel(n_nodes, max_leaf, present,
             o_ref, d_ref, tmin_ref, nodes_ref, leaves_ref,
-            t_out, leaf_out):
+            t_out, leaf_out, ent_out, ins_out, nx_out, ny_out, nz_out):
     ox, oy, oz = o_ref[0], o_ref[1], o_ref[2]
     dx, dy, dz = d_ref[0], d_ref[1], d_ref[2]
     t_min = tmin_ref[0]
@@ -364,12 +460,13 @@ def _kernel(n_nodes, max_leaf, present,
     ix, iy, iz = safe_inv(dx), safe_inv(dy), safe_inv(dz)
 
     def leaf_test(slot, carry):
-        t_best, leaf_best, lane_hit = carry
+        t_best, leaf_best, ent_best, ins_best, nx_b, ny_b, nz_b, lane_hit = carry
         gid = leaves_ref[slot, 21].astype(jnp.int32)
+        eid = leaves_ref[slot, 22].astype(jnp.int32)
 
         # branch bodies load only the fields they need (SMEM scalar loads
         # are a large share of per-leaf cost; the world-space fast records
-        # need 4-6 instead of 20)
+        # need 4-6 instead of 20). Each returns (t, inside, world normal).
         def mk_general(tid):
             def f(_):
                 xf = [leaves_ref[slot, k] for k in range(12)]
@@ -381,8 +478,16 @@ def _kernel(n_nodes, max_leaf, present,
                 ldx = xf[0] * dx + xf[1] * dy + xf[2] * dz
                 ldy = xf[4] * dx + xf[5] * dy + xf[6] * dz
                 ldz = xf[8] * dx + xf[9] * dy + xf[10] * dz
-                return _HIT_FNS[tid]((lox, loy, loz), (ldx, ldy, ldz), pp,
-                                     t_min)
+                t, ins = _HIT_FNS[tid]((lox, loy, loz), (ldx, ldy, ldz), pp,
+                                       t_min)
+                # local normal at the crossing, then world via (w2l)^T
+                # (transform_normal inverse-transpose semantics)
+                phx, phy, phz = lox + t * ldx, loy + t * ldy, loz + t * ldz
+                nlx, nly, nlz = _NORMAL_FNS[tid]((phx, phy, phz), pp)
+                nwx = xf[0] * nlx + xf[4] * nly + xf[8] * nlz
+                nwy = xf[1] * nlx + xf[5] * nly + xf[9] * nlz
+                nwz = xf[2] * nlx + xf[6] * nly + xf[10] * nlz
+                return t, ins, nwx, nwy, nwz
             return f
 
         def f_sphere_w(_):
@@ -395,7 +500,9 @@ def _kernel(n_nodes, max_leaf, present,
             b = 2.0 * (px * dx + py * dy + pz * dz)
             c = px * px + py * py + pz * pz - r * r
             lo, hi, v = _quad_interval(a, b, c)
-            return _first_after(t_min, (lo, v), (hi, v))
+            t = _first_after(t_min, (lo, v), (hi, v))
+            return (t, jnp.where(c < 0.0, 1.0, 0.0),
+                    px + t * dx, py + t * dy, pz + t * dz)
 
         def f_box_w(_):
             lx = leaves_ref[slot, 0]
@@ -414,7 +521,13 @@ def _kernel(n_nodes, max_leaf, present,
                                          jnp.maximum(t0y, t1y)),
                              jnp.maximum(t0z, t1z))
             v = hi >= lo
-            return _first_after(t_min, (lo, v), (hi, v))
+            t = _first_after(t_min, (lo, v), (hi, v))
+            ins = jnp.where((ox >= lx) & (ox <= hx) & (oy >= ly)
+                            & (oy <= hy) & (oz >= lz) & (oz <= hz), 1.0, 0.0)
+            nx, ny, nz = _box_face_normal(
+                ox + t * dx, oy + t * dy, oz + t * dz,
+                lx, ly, lz, hx, hy, hz)
+            return t, ins, nx, ny, nz
 
         fast = {KT_SPHERE_W: f_sphere_w, KT_BOX_W: f_box_w}
 
@@ -422,21 +535,27 @@ def _kernel(n_nodes, max_leaf, present,
             return fast.get(tid) or mk_general(tid)
 
         if len(present) == 1:
-            t = fn_for(present[0])(None)
+            t, ins, nx, ny, nz = fn_for(present[0])(None)
         else:
             typ = leaves_ref[slot, 20].astype(jnp.int32)
             # map the record's type to its branch index (scalar where-chain)
             branch = jnp.int32(0)
             for bi, tid in enumerate(present):
                 branch = jnp.where(typ == tid, jnp.int32(bi), branch)
-            t = jax.lax.switch(branch, [fn_for(tid) for tid in present], None)
+            t, ins, nx, ny, nz = jax.lax.switch(
+                branch, [fn_for(tid) for tid in present], None)
         better = lane_hit & (t < t_best)
         t_best = jnp.where(better, t, t_best)
         leaf_best = jnp.where(better, gid, leaf_best)
-        return t_best, leaf_best, lane_hit
+        ent_best = jnp.where(better, eid, ent_best)
+        ins_best = jnp.where(better, ins, ins_best)
+        nx_b = jnp.where(better, nx, nx_b)
+        ny_b = jnp.where(better, ny, ny_b)
+        nz_b = jnp.where(better, nz, nz_b)
+        return t_best, leaf_best, ent_best, ins_best, nx_b, ny_b, nz_b, lane_hit
 
     def body(carry):
-        node, t_best, leaf_best = carry
+        node, t_best, leaf_best, ent_best, ins_best, nx_b, ny_b, nz_b = carry
         blx = nodes_ref[node, 0]
         bly = nodes_ref[node, 1]
         blz = nodes_ref[node, 2]
@@ -463,29 +582,44 @@ def _kernel(n_nodes, max_leaf, present,
         is_leaf = n_count > 0
 
         def do_leaf(c):
-            t_b, l_b, lh = c
+            *st, lh = c
             for k in range(max_leaf):
                 take = k < n_count
                 slot = jnp.where(take, n_first + k, 0)
-                t_b, l_b, _ = leaf_test(slot, (t_b, l_b, lh & take))
-            return t_b, l_b, lh
+                *st, _ = leaf_test(slot, (*st, lh & take))
+            return (*st, lh)
 
-        t_best, leaf_best, _ = jax.lax.cond(
-            any_hit & is_leaf, do_leaf, lambda c: c,
-            (t_best, leaf_best, lane_hit))
+        t_best, leaf_best, ent_best, ins_best, nx_b, ny_b, nz_b, _ = (
+            jax.lax.cond(
+                any_hit & is_leaf, do_leaf, lambda c: c,
+                (t_best, leaf_best, ent_best, ins_best,
+                 nx_b, ny_b, nz_b, lane_hit)))
         nxt = jnp.where(any_hit & ~is_leaf, node + 1, n_skip)
-        return nxt, t_best, leaf_best
+        return (nxt, t_best, leaf_best, ent_best, ins_best,
+                nx_b, ny_b, nz_b)
 
     shape = ox.shape
     init = (
         jnp.int32(0),
         jnp.full(shape, _BIG, jnp.float32),
         jnp.full(shape, -1, jnp.int32),
+        jnp.full(shape, -1, jnp.int32),
+        jnp.zeros(shape, jnp.float32),
+        jnp.zeros(shape, jnp.float32),
+        jnp.zeros(shape, jnp.float32),
+        jnp.zeros(shape, jnp.float32),
     )
-    _, t_best, leaf_best = jax.lax.while_loop(
-        lambda c: c[0] < n_nodes, body, init)
+    (_, t_best, leaf_best, ent_best, ins_best, nx_b, ny_b, nz_b) = (
+        jax.lax.while_loop(lambda c: c[0] < n_nodes, body, init))
+    # unit outward normal (downstream orientation flip expects unit length)
+    inv_len = jax.lax.rsqrt(nx_b * nx_b + ny_b * ny_b + nz_b * nz_b + 1e-24)
     t_out[...] = t_best
     leaf_out[...] = leaf_best
+    ent_out[...] = ent_best
+    ins_out[...] = (ins_best > 0.5).astype(jnp.int32)
+    nx_out[...] = nx_b * inv_len
+    ny_out[...] = ny_b * inv_len
+    nz_out[...] = nz_b * inv_len
 
 
 def _part1by2(x):
@@ -525,9 +659,14 @@ def analytic_bvh_winner(tables, meta, origin, direction, t_min,
     """Packet-BVH nearest-hit over the packed analytic leaves.
 
     origin/direction f32[N,3] WORLD space, t_min f32[N] (minimum advance).
-    Returns (t f32[N] (+inf miss, NON-differentiable — ordering only),
-    leaf i32[N] global leaf id, -1 on miss). The caller recomputes the
-    winner's crossing differentiably.
+    Returns a dict of NON-differentiable per-ray winner fields:
+      t      f32[N]  crossing distance (+inf miss) — ordering only
+      leaf   i32[N]  global leaf id (-1 miss)
+      entity i32[N]  owning entity (-1 miss)
+      inside bool[N] ray origin inside the solid (reference 'exiting')
+      normal f32[N,3] unit outward world normal at the crossing
+    The differentiable path recomputes the winner's crossing from the
+    scene tables; the forward-only path consumes these fields directly.
     """
     n_nodes, max_leaf, present, root_lo, root_hi = meta[:5]
     origin = jax.lax.stop_gradient(origin)
@@ -560,10 +699,15 @@ def analytic_bvh_winner(tables, meta, origin, direction, t_min,
             kernel,
             grid=(grid,),
             in_specs=[ray_spec, ray_spec, tmin_spec] + [table_spec] * 2,
-            out_specs=(out_spec, out_spec),
+            out_specs=(out_spec,) * 7,
             out_shape=(
                 jax.ShapeDtypeStruct((rows, _LANES), jnp.float32),
                 jax.ShapeDtypeStruct((rows, _LANES), jnp.int32),
+                jax.ShapeDtypeStruct((rows, _LANES), jnp.int32),
+                jax.ShapeDtypeStruct((rows, _LANES), jnp.int32),
+                jax.ShapeDtypeStruct((rows, _LANES), jnp.float32),
+                jax.ShapeDtypeStruct((rows, _LANES), jnp.float32),
+                jax.ShapeDtypeStruct((rows, _LANES), jnp.float32),
             ),
             interpret=jax.default_backend() != "tpu",
         )(o_p, d_p, t_p, nodes, leaves)
@@ -584,11 +728,17 @@ def analytic_bvh_winner(tables, meta, origin, direction, t_min,
         lambda *a: (_run(*a), None),
         lambda res, g: tuple(z() for z in _zero_cots),
     )
-    t, leaf = run(o_p, d_p, t_p, tables["nodes"], tables["leaves"])
-    t = t.reshape(n_pad)[:N]
-    leaf = leaf.reshape(n_pad)[:N]
+    t, leaf, ent, ins, nx, ny, nz = run(
+        o_p, d_p, t_p, tables["nodes"], tables["leaves"])
+    outs = [x.reshape(n_pad)[:N] for x in (t, leaf, ent, ins, nx, ny, nz)]
     if order is not None:
         # scatter back to original lane order
-        t = jnp.zeros_like(t).at[order].set(t)
-        leaf = jnp.zeros_like(leaf).at[order].set(leaf)
-    return jnp.where(leaf >= 0, t, jnp.inf), leaf
+        outs = [jnp.zeros_like(x).at[order].set(x) for x in outs]
+    t, leaf, ent, ins, nx, ny, nz = outs
+    return {
+        "t": jnp.where(leaf >= 0, t, jnp.inf),
+        "leaf": leaf,
+        "entity": jnp.where(leaf >= 0, ent, -1),
+        "inside": ins > 0,
+        "normal": jnp.stack([nx, ny, nz], axis=-1),
+    }

@@ -677,12 +677,15 @@ def _n_uniforms(scene: CompiledScene):
 
 
 def trace_step(scene: CompiledScene, cfg: RayConfig, state: RayState, step_key,
-               u=None):
+               u=None, differentiable=True):
     """One wavefront bounce. Returns the next RayState.
 
     ``u`` optionally supplies this bounce's [N, n_uniforms] random draws
     (the drivers hoist the whole span's RNG into one upfront kernel instead
-    of re-entering threefry inside every loop iteration)."""
+    of re-entering threefry inside every loop iteration).
+    ``differentiable=False`` (forward-only drivers) lets the intersection
+    consume the leaf-BVH kernel's full winner record without the
+    differentiable recompute."""
     N = state.origin.shape[0]
     if u is None:
         u = jax.random.uniform(step_key, (N, _n_uniforms(scene)),
@@ -705,7 +708,8 @@ def trace_step(scene: CompiledScene, cfg: RayConfig, state: RayState, step_key,
     # ``alive & rec.hit`` so their (miss) records never propagate.
     park = jnp.asarray([3.0e7, 3.0e7, 3.0e7], state.origin.dtype)
     origin_q = jnp.where(alive[:, None], state.origin, park)
-    rec = intersect_scene(scene, origin_q, state.direction)
+    rec = intersect_scene(scene, origin_q, state.direction,
+                          need_grad=differentiable)
     if cfg.max_distance != float("inf"):
         # hits beyond the ray's terminating distance are misses
         # (core/ray.pyx:38 semantics, enforced by every accelerator hit)
@@ -832,14 +836,16 @@ def trace_rays(scene: CompiledScene, cfg: RayConfig, state: RayState, key):
 
             def body(carry):
                 i, s = carry
-                s = trace_step(scene, cfg, s, None, u=u_all[i - start])
+                s = trace_step(scene, cfg, s, None, u=u_all[i - start],
+                               differentiable=False)
                 return i + 1, s
 
             _, final = jax.lax.while_loop(cond, body, (jnp.int32(start), st))
             return final
 
         def fbody(i, s):
-            return trace_step(scene, cfg, s, None, u=u_all[i - start])
+            return trace_step(scene, cfg, s, None, u=u_all[i - start],
+                              differentiable=False)
 
         return jax.lax.fori_loop(start, end, fbody, st)
 
@@ -974,7 +980,8 @@ def alive_profile(scene: CompiledScene, cfg: RayConfig, state: RayState, key):
     compaction schedule (one fixed-length scan, no radiance bookkeeping)."""
 
     def body(st, i):
-        nxt = trace_step(scene, cfg, st, jax.random.fold_in(key, i))
+        nxt = trace_step(scene, cfg, st, jax.random.fold_in(key, i),
+                         differentiable=False)
         return nxt, jnp.sum(st.alive.astype(jnp.int32))
 
     _, counts = jax.lax.scan(body, state, jnp.arange(cfg.max_iters))
@@ -1020,7 +1027,8 @@ def trace_rays_logged(scene: CompiledScene, cfg: RayConfig, state: RayState, key
 
     def body(st, i):
         rec = intersect_scene(scene, st.origin, st.direction)
-        nxt = trace_step(scene, cfg, st, jax.random.fold_in(key, i))
+        nxt = trace_step(scene, cfg, st, jax.random.fold_in(key, i),
+                         differentiable=False)
         valid = st.alive & rec.hit
         mat_id = vmath.select_rows(
             scene.entity_material, jnp.maximum(rec.entity, 0)
