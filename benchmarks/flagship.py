@@ -5,10 +5,11 @@ speed-of-light analysis) import scene, ray batch and RayConfig from here so
 "achieved" and "ceiling" are measured on ONE program (VERDICT r2 weak #2:
 the r2 mfu/bench configs differed and the numbers never reconciled).
 
-Protocol: Cornell box WITH the dielectric glass prisms (refraction
+Protocol: Cornell box WITH the dielectric glass solids (refraction
 roulette + Beer-Lambert volumes — the hard path), 512x512 pinhole rays,
 15 spectral bins, max_depth 16, wavefront bound 24, stream compaction
-((3,4),(3,4)), reverse-mode remat in 4-bounce blocks.
+((3,4),(3,4)), reverse-mode rematerialisation per bounce (REMAT_BLOCK=1;
+block-4 remat was measured slower and rejected — see RayConfig.remat_block).
 """
 
 import sys

@@ -107,6 +107,12 @@ class CompiledScene:
     # world-space SAH BVH over simple (non-CSG, non-torus) analytic leaves,
     # packet-traversed by a Pallas kernel so per-ray cost is logarithmic in
     # leaf count instead of linear.
+    # NOTE: these planes BAKE the leaf AABBs/transforms/params at compile
+    # time. Replacing ``leaf_params``/``leaf_w2l`` on a CompiledScene (fine
+    # for gradient COTANGENTS — the kernel's custom_vjp is zero-cotangent)
+    # leaves the kernel intersecting stale geometry if a FORWARD render is
+    # then run with the perturbed tables: re-run ``compile_scene`` after any
+    # material geometry change (ADVICE r3).
     leaf_bvh: Any = None
 
     # --- static structure (aux data) ---

@@ -55,6 +55,9 @@ def safe_pow(base, exp):
 SELECT_ROWS_MAX = 64
 # above this row count the one-hot [N, L] operand outweighs the gather cost
 SELECT_ROWS_MXU_MAX = 4096
+# cap on the one-hot operand's bytes (N * L * 4); above it the gather wins
+# on HBM pressure even when L alone is in the MXU-profitable band
+SELECT_ROWS_ONEHOT_MAX_BYTES = 768 * 1024 * 1024
 
 
 def select_rows(table, idx, limit=SELECT_ROWS_MAX):
@@ -71,6 +74,16 @@ def select_rows(table, idx, limit=SELECT_ROWS_MAX):
     if L > SELECT_ROWS_MXU_MAX:
         return table[idx]
     if L > limit:
+        # the [N, L] one-hot operand must also stay within a sane HBM
+        # footprint: the 10x-vs-gather speedup was measured at L ~ 1000 /
+        # N ~ 131k (~0.5 GB operand); near the L cap with flagship-sized
+        # batches the operand alone would spike ~2 GB per call, so large
+        # N*L products fall back to the gather (ADVICE r3)
+        n_idx = 1
+        for s in idx.shape:
+            n_idx *= int(s)
+        if n_idx * L * 4 > SELECT_ROWS_ONEHOT_MAX_BYTES:
+            return table[idx]
         # mid-size tables: one-hot CONTRACTION on the MXU. Each output row
         # is an exact copy (exactly one nonzero per one-hot row, f32
         # HIGHEST precision), the backward is the transposed matmul

@@ -291,9 +291,16 @@ def intersect_scene(scene: CompiledScene, origin, direction, t_min_scale=None,
     # the packet kernel pays off on real TPU hardware; off-TPU the
     # interpret-mode Pallas walk is orders slower than streaming, so only
     # an explicit override (tests) engages it there
+    # SOURCE_TPU_LEAF_BVH=0 also disables the kernel at TRACE time (a scene
+    # compiled with tables in another process would otherwise still take the
+    # kernel path — ADVICE r3), which makes A/B debugging possible without
+    # recompiling the scene.
     use_bvh = scene.leaf_bvh is not None and (
-        jax.default_backend() == "tpu"
-        or os.environ.get("SOURCE_TPU_LEAF_BVH", "") == "1"
+        os.environ.get("SOURCE_TPU_LEAF_BVH", "") != "0"
+        and (
+            jax.default_backend() == "tpu"
+            or os.environ.get("SOURCE_TPU_LEAF_BVH", "") == "1"
+        )
     )
 
     # running nearest-hit triple across all entity classes; the per-entity

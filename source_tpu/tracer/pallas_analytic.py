@@ -68,6 +68,9 @@ KT_BOX_W = 7     # rotation-free box: world AABB [lo3, hi3]
 
 _REC = 16
 _REC_PER_ROW = _LANES // _REC
+# byte ceiling for the SMEM-resident node+leaf tables (pack_leaf_bvh_host
+# returns (None, None) above it so compile_scene keeps the streaming path)
+SMEM_TABLE_BUDGET = 192 * 1024
 # plain python float: a module-level jnp scalar would be captured as a
 # traced constant by the pallas kernel closure (pallas rejects that)
 _BIG = 3e38
@@ -109,6 +112,13 @@ def pack_leaf_bvh_host(leaf_types, l2w, w2l, params, leaf_ids,
 
     n = len(leaf_ids)
     if n == 0 or n >= (1 << 24):
+        return None, None
+    # SMEM budget: the node [~2n, 9] + leaf [n, 23] f32 tables live in SMEM;
+    # past a conservative ceiling Mosaic compilation would fail outright, so
+    # fall back to the streaming path instead (ADVICE r3). ~64 KB of SMEM
+    # table budget covers ~2000 leaves.
+    smem_bytes = (2 * n + 1) * 9 * 4 + n * 23 * 4
+    if smem_bytes > SMEM_TABLE_BUDGET:
         return None, None
     lo = np.empty((n, 3), np.float64)
     hi = np.empty((n, 3), np.float64)

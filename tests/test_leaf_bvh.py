@@ -164,3 +164,68 @@ def test_inside_rays_exit_correctly(scenes):
     m = np.asarray(r1.hit)
     np.testing.assert_allclose(
         np.asarray(r1.t)[m], np.asarray(r2.t)[m], rtol=1e-4, atol=1e-4)
+
+
+def _covered_scene(force):
+    """A scene the BVH covers COMPLETELY (no torus, no CSG) so the
+    forward-only fast path (need_grad=False) engages."""
+    prev = os.environ.get("SOURCE_TPU_LEAF_BVH")
+    os.environ["SOURCE_TPU_LEAF_BVH"] = force
+    try:
+        w = World()
+        rng = np.random.RandomState(3)
+        for i in range(12):
+            x, y, z = rng.uniform(-3.0, 3.0, 3)
+            t = translate(x, y, z) * rotate_x(float(rng.uniform(0, 90)))
+            kind = i % 5
+            if kind == 0:
+                Sphere(0.5, parent=w, transform=t, material=Lambert())
+            elif kind == 1:
+                Box(Point3D(-0.4, -0.3, -0.2), Point3D(0.4, 0.3, 0.2),
+                    parent=w, transform=t, material=Lambert())
+            elif kind == 2:
+                Cylinder(0.3, 0.7, parent=w, transform=t, material=Lambert())
+            elif kind == 3:
+                Cone(0.35, 0.6, parent=w, transform=t, material=Lambert())
+            else:
+                Parabola(0.3, 0.5, parent=w, transform=t, material=Lambert())
+        return compile_scene(w, SpectralConfig(400.0, 700.0, 4))
+    finally:
+        if prev is None:
+            os.environ.pop("SOURCE_TPU_LEAF_BVH", None)
+        else:
+            os.environ["SOURCE_TPU_LEAF_BVH"] = prev
+
+
+def test_fast_path_record_parity():
+    """need_grad=False on a fully-covered scene consumes the kernel's OWN
+    record (t/entity/normal/exiting — no differentiable recompute); it must
+    match the streaming path field for field (ADVICE r3: production
+    trace_rays uses exactly this path on TPU)."""
+    s_bvh = _covered_scene("1")
+    s_str = _covered_scene("0")
+    assert s_bvh.leaf_bvh is not None
+    assert len(s_bvh.bvh_leaf_ids) == s_bvh.n_leaves  # full coverage
+    o, d = _rays(2048, seed=4)
+    r1 = jax.jit(
+        lambda o, d: intersect_scene(s_bvh, o, d, need_grad=False))(o, d)
+    r2 = jax.jit(lambda o, d: intersect_scene(s_str, o, d))(o, d)
+    h1, h2 = np.asarray(r1.hit), np.asarray(r2.hit)
+    np.testing.assert_array_equal(h1, h2)
+    m = h1
+    assert m.sum() > 50
+    np.testing.assert_allclose(
+        np.asarray(r1.t)[m], np.asarray(r2.t)[m], rtol=1e-4, atol=1e-4)
+    np.testing.assert_array_equal(
+        np.asarray(r1.entity)[m], np.asarray(r2.entity)[m])
+    np.testing.assert_array_equal(
+        np.asarray(r1.leaf)[m], np.asarray(r2.leaf)[m])
+    np.testing.assert_array_equal(
+        np.asarray(r1.exiting)[m], np.asarray(r2.exiting)[m])
+    np.testing.assert_allclose(
+        np.asarray(r1.normal)[m], np.asarray(r2.normal)[m],
+        rtol=1e-3, atol=1e-3)
+    # relaunch points derive from the kernel record on the fast path
+    np.testing.assert_allclose(
+        np.asarray(r1.outside_point)[m], np.asarray(r2.outside_point)[m],
+        rtol=1e-3, atol=1e-3)
