@@ -21,14 +21,26 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+REPEATS = 5
+
+
 def _observe_timed(camera):
+    """Median-of-REPEATS rays/s + spread (VERDICT r3 #3: the axon relay
+    shows 10-20% run-to-run variance; single-pass numbers are not
+    comparable across rounds)."""
     camera.quiet = True
     camera.observe(seed=1)  # compile + warm pass
-    for p in camera.pipelines:
-        if hasattr(p, "accumulate"):
-            p.accumulate = False  # reset stats so the timed pass is clean
-    camera.observe(seed=2)
-    return camera.rays_per_second
+    rates = []
+    for rep in range(REPEATS):
+        for p in camera.pipelines:
+            if hasattr(p, "accumulate"):
+                p.accumulate = False  # reset stats so each timed pass is clean
+        camera.observe(seed=2 + rep)
+        rates.append(camera.rays_per_second)
+    rates.sort()
+    median = rates[len(rates) // 2]
+    spread = (rates[-1] - rates[0]) / median
+    return median, spread
 
 
 def bench_cornell():
@@ -140,11 +152,16 @@ def main():
     results = {}
     for name in wanted:
         t0 = time.time()
-        rays_s = SCENES[name]()
-        results[name] = round(rays_s, 1)
+        rays_s, spread = SCENES[name]()
+        results[name] = {
+            "rays_per_s_median": round(rays_s, 1),
+            "spread_pct": round(100.0 * spread, 1),
+            "repeats": REPEATS,
+        }
         print(json.dumps({
             "metric": f"{name}_fwd", "value": round(rays_s, 1),
-            "unit": "rays/s/chip", "wall_s": round(time.time() - t0, 1),
+            "unit": "rays/s/chip", "spread_pct": round(100.0 * spread, 1),
+            "wall_s": round(time.time() - t0, 1),
         }), flush=True)
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)), "results.json")
     existing = {}

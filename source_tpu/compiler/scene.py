@@ -122,6 +122,11 @@ class CompiledScene:
     simple_leaf_of_entity: Tuple = dataclasses.field(metadata=dict(static=True), default=())
     csg_entities: Tuple = dataclasses.field(metadata=dict(static=True), default=())
     mat_types: Tuple = dataclasses.field(metadata=dict(static=True), default=())
+    # static copy of entity_material (the array is traced under jit; the
+    # fused bounce kernel's codegen needs each entity's material id as
+    # static structure)
+    entity_material_static: Tuple = dataclasses.field(
+        metadata=dict(static=True), default=())
     volume_entities: Tuple = dataclasses.field(metadata=dict(static=True), default=())
     mesh_entities: Tuple = dataclasses.field(metadata=dict(static=True), default=())
     mix_remaps: Tuple = dataclasses.field(metadata=dict(static=True), default=())
@@ -131,8 +136,13 @@ class CompiledScene:
     custom_materials: Tuple = dataclasses.field(metadata=dict(static=True), default=())
     # (n_nodes, max_leaf, present_types) for leaf_bvh; () when absent
     leaf_bvh_meta: Tuple = dataclasses.field(metadata=dict(static=True), default=())
-    # GLOBAL leaf ids covered by leaf_bvh (excluded from the streaming path)
+    # GLOBAL leaf ids covered by leaf_bvh (excluded from the streaming
+    # path); includes the children of kernel-resolved small-CSG entities
     bvh_leaf_ids: Tuple = dataclasses.field(metadata=dict(static=True), default=())
+    # entity ids whose CSG boolean is resolved INSIDE the packet kernel
+    # (convex-children interval records); the streaming resolve skips them
+    kernel_csg_entities: Tuple = dataclasses.field(
+        metadata=dict(static=True), default=())
     has_roughen: bool = dataclasses.field(metadata=dict(static=True), default=False)
     has_importance: bool = dataclasses.field(metadata=dict(static=True), default=False)
     # bin COUNT stays static (array shapes); the wavelength range is traced
@@ -270,7 +280,9 @@ def compile_scene(world: World, spectral: SpectralConfig, dtype=jnp.float32) -> 
     # crossings) and torus leaves (quartic) stay on the streaming path.
     import os as _os
 
-    from ..tracer.pallas_analytic import BVH_TYPES, pack_leaf_bvh_host
+    from ..tracer.pallas_analytic import (
+        BVH_TYPES, MAX_CSG_CHILD, pack_leaf_bvh_host,
+    )
 
     _force = _os.environ.get("SOURCE_TPU_LEAF_BVH", "")
     if _force == "1":
@@ -284,19 +296,41 @@ def compile_scene(world: World, spectral: SpectralConfig, dtype=jnp.float32) -> 
         i for i, r in enumerate(leaf_records)
         if r[0] in BVH_TYPES and i not in csg_leaf_set
     ]
+    # small-CSG entities (<= MAX_CSG_CHILD convex analytic children — every
+    # lens primitive qualifies) become single BVH items evaluated inline by
+    # the packet kernel from the children's ray intervals, so a lens stack
+    # traces in O(log entities) like the reference's kd-tree
+    # (core/acceleration/kdtree.pyx accelerates EVERY primitive type)
+    csg_items = []
+    kernel_csg = []
+    for e, leaf_ids_t, program in csg_entities:
+        if (len(leaf_ids_t) <= MAX_CSG_CHILD
+                and all(leaf_records[g][0] in BVH_TYPES for g in leaf_ids_t)):
+            children = [
+                (g, leaf_records[g][0], l2w[g], w2l[g], params[g])
+                for g in leaf_ids_t
+            ]
+            csg_items.append((e, program, children))
+            kernel_csg.append(e)
+    covered_children = sorted(
+        g for (_e, _p, ch) in csg_items for (g, *_r) in ch)
     leaf_bvh = None
     leaf_bvh_meta = ()
-    if len(bvh_rows) >= _bvh_min:
+    if len(bvh_rows) + len(csg_items) >= _bvh_min:
         tables, meta = pack_leaf_bvh_host(
             [leaf_records[i][0] for i in bvh_rows],
             l2w[bvh_rows], w2l[bvh_rows], params[bvh_rows], bvh_rows,
             leaf_entities=[leaf_entity[i] for i in bvh_rows],
+            csg_items=csg_items,
         )
         if tables is not None:
             leaf_bvh = {k: jnp.asarray(v) for k, v in tables.items()}
             leaf_bvh_meta = meta
     if leaf_bvh is None:
         bvh_rows = []
+        kernel_csg = []
+        covered_children = []
+    bvh_rows = list(bvh_rows) + covered_children
 
     # --- materials -----------------------------------------------------------------
     materials = []
@@ -450,12 +484,14 @@ def compile_scene(world: World, spectral: SpectralConfig, dtype=jnp.float32) -> 
         leaf_bvh=leaf_bvh,
         leaf_bvh_meta=leaf_bvh_meta,
         bvh_leaf_ids=tuple(bvh_rows),
+        kernel_csg_entities=tuple(kernel_csg),
         type_slices=tuple(type_slices),
         n_leaves=n_leaves,
         n_entities=n_entities,
         simple_leaf_of_entity=tuple(simple_leaf_of_entity),
         csg_entities=tuple(csg_entities),
         mat_types=mat_types,
+        entity_material_static=tuple(entity_material),
         volume_entities=tuple(volume_entities),
         mesh_entities=tuple(mesh_entities),
         mix_remaps=tuple(mix_remaps),

@@ -155,7 +155,7 @@ def srgb_transfer_function_inverse(v):
 
 
 # sRGB D65 matrices (IEC 61966-2-1, same coefficients as colour.pyx:235)
-_XYZ_TO_SRGB = jnp.array(
+_XYZ_TO_SRGB = np.array(
     [
         [3.2404542, -1.5371385, -0.4985314],
         [-0.9692660, 1.8760108, 0.0415560],
@@ -163,7 +163,7 @@ _XYZ_TO_SRGB = jnp.array(
     ],
     dtype=jnp.float32,
 )
-_SRGB_TO_XYZ = jnp.array(
+_SRGB_TO_XYZ = np.array(
     [
         [0.4124564, 0.3575761, 0.1804375],
         [0.2126729, 0.7151522, 0.0721750],

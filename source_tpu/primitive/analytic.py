@@ -117,18 +117,20 @@ def candidates_box(o, d, params):
 
 
 def normal_box(p, params):
+    """Face pick by smallest DISTANCE to a face plane along each axis —
+    robust for degenerate (zero-extent) boxes, where the reference's
+    normalised-coordinate rule divides by a 1e-30 floor and the winning
+    axis becomes fp-chaotic (the reference box.pyx tracks the hit slab
+    explicitly; this distance rule reproduces that geometric intent from
+    the point alone)."""
     lower = params[..., 0:3]
     upper = params[..., 3:6]
     centre = 0.5 * (lower + upper)
-    half = jnp.maximum(0.5 * (upper - lower), 1e-30)
-    q = (p - centre) / half
-    ax = jnp.abs(q)
-    # one-hot of the face with the largest normalised coordinate, built from
-    # comparisons (an eye[argmax] row gather serializes on TPU); cumsum
-    # tie-breaks toward the first axis
-    is_max = ax >= jnp.max(ax, axis=-1, keepdims=True)
-    onehot = is_max & (jnp.cumsum(is_max, axis=-1) == 1)
-    sign = jnp.where(jnp.sum(jnp.where(onehot, q, 0.0), axis=-1, keepdims=True) >= 0, 1.0, -1.0)
+    half = 0.5 * (upper - lower)
+    dist = jnp.abs(half - jnp.abs(p - centre))
+    is_min = dist <= jnp.min(dist, axis=-1, keepdims=True)
+    onehot = is_min & (jnp.cumsum(is_min, axis=-1) == 1)
+    sign = jnp.where(p - centre >= 0.0, 1.0, -1.0)
     return onehot.astype(p.dtype) * sign
 
 

@@ -27,6 +27,7 @@ from typing import Any
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..core.math import batch as vmath
 from ..primitive import analytic as _a
@@ -43,7 +44,10 @@ T_EPS = 1e-4  # minimum ray-parameter advance (relative-scaled below)
 
 # benign parameter block used on masked-out lanes of the normal dispatch:
 # unit box [0,1]^3 doubles as unit radius/height for the quadric types
-_SAFE_PARAMS = jnp.asarray([1.0, 1.0, 1.0, 2.0, 2.0, 2.0, 1.0, 1.0], jnp.float32)
+# numpy (not jnp): module-level device constants would initialise the XLA
+# backend at import time, which breaks jax.distributed.initialize() in
+# multi-process runs (it must run before any backend touch)
+_SAFE_PARAMS = np.asarray([1.0, 1.0, 1.0, 2.0, 2.0, 2.0, 1.0, 1.0], np.float32)
 
 
 @jax.tree_util.register_dataclass
@@ -348,6 +352,18 @@ def intersect_scene(scene: CompiledScene, origin, direction, t_min_scale=None,
             )
             pos_w = jnp.where(cand_w > eps[:, None], cand_w, _INF)
             t_w = jnp.min(pos_w, axis=-1)
+            if scene.kernel_csg_entities:
+                # kernel-resolved CSG lanes: the boundary may be the
+                # winning child's EXIT crossing (e.g. the far surface of a
+                # subtracted solid), so recompute by the kernel's crossing
+                # index instead of nearest-positive (convex children:
+                # candidates are exactly [entry, exit, inf...])
+                is_csg = jnp.zeros_like(win_leaf, dtype=bool)
+                for e in scene.kernel_csg_entities:
+                    is_csg = is_csg | (win["entity"] == e)
+                t_idx = jnp.where(
+                    win["crossing_hi"], cand_w[:, 1], cand_w[:, 0])
+                t_w = jnp.where(is_csg, t_idx, t_w)
             valid = (win_leaf >= 0) & jnp.isfinite(t_w)
             t_best = jnp.where(valid, t_w, t_best)
             ent_best = jnp.where(valid, rows_w[2], ent_best)
@@ -428,9 +444,12 @@ def intersect_scene(scene: CompiledScene, origin, direction, t_min_scale=None,
         ent_best = jnp.where(fin0, ent0, ent_best)
         leaf_best = jnp.where(fin0, leaf0, leaf_best)
 
-    # per-ray bookkeeping for csg winners
+    # per-ray bookkeeping for csg winners (kernel-resolved entities are
+    # handled entirely inside the packet kernel when it is active)
     csg_t = []
     for e, leaf_ids, program in scene.csg_entities:
+        if use_bvh and e in scene.kernel_csg_entities:
+            continue
         inside_fn = _program_to_closure(program)
         ids = jnp.asarray(leaf_ids)
         tc = jnp.stack([csg_cand[g] for g in leaf_ids], axis=1)  # [N, l, K]
@@ -584,6 +603,13 @@ def intersect_scene(scene: CompiledScene, origin, direction, t_min_scale=None,
         inside_before = jnp.zeros((N,), bool)
     for e, bt, bleaf, binside in csg_t:
         inside_before = jnp.where(entity == e, binside, inside_before)
+    if use_bvh and win is not None:
+        # kernel-resolved CSG lanes: 'exiting' is the ENTITY-level inside
+        # state the kernel's boolean resolve produced, not the winning
+        # child's own containment
+        for e in scene.kernel_csg_entities:
+            inside_before = jnp.where(entity == e, win["inside"],
+                                      inside_before)
 
     # mesh winners: smoothed (or face) normal, exiting from face orientation
     # (mesh.pyx:718-804 MeshIntersection semantics)

@@ -676,6 +676,25 @@ def _n_uniforms(scene: CompiledScene):
     return 16 if scene.has_roughen else 10
 
 
+def _fused_spec_for(scene: CompiledScene, cfg: RayConfig):
+    """FusedSpec when the fused per-bounce Pallas megakernel applies.
+
+    The kernel pays off on real TPU hardware (interpret-mode Pallas is far
+    slower than the XLA path off-TPU), so it engages on the TPU backend by
+    default; SOURCE_TPU_FUSED=1 forces it elsewhere (parity tests) and
+    SOURCE_TPU_FUSED=0 disables it everywhere (A/B debugging)."""
+    import os as _os
+
+    flag = _os.environ.get("SOURCE_TPU_FUSED", "")
+    if flag == "0":
+        return None
+    if jax.default_backend() != "tpu" and flag != "1":
+        return None
+    from .pallas_fused import fused_spec
+
+    return fused_spec(scene, cfg)
+
+
 def trace_step(scene: CompiledScene, cfg: RayConfig, state: RayState, step_key,
                u=None, differentiable=True):
     """One wavefront bounce. Returns the next RayState.
@@ -819,6 +838,7 @@ def trace_rays(scene: CompiledScene, cfg: RayConfig, state: RayState, key):
     """
 
     n_u = _n_uniforms(scene)
+    fspec = _fused_spec_for(scene, cfg)
 
     def run_range(st, start, end):
         # hoist the whole span's RNG into one kernel (threefry re-entry per
@@ -828,6 +848,12 @@ def trace_rays(scene: CompiledScene, cfg: RayConfig, state: RayState, key):
             jax.random.fold_in(key, 0x7A000 + start),
             (nsteps, st.origin.shape[0], n_u), st.origin.dtype,
         )
+
+        if fspec is not None:
+            from .pallas_fused import fused_forward_span
+
+            return fused_forward_span(scene, fspec, st, u_all,
+                                      early_exit=cfg.early_exit)
 
         if cfg.early_exit:
             def cond(carry):
@@ -919,6 +945,8 @@ def trace_rays_diff(scene: CompiledScene, cfg: RayConfig, state: RayState, key):
 
     block = _block if cfg.remat_block == 0 else jax.checkpoint(_block)
 
+    fspec = _fused_spec_for(scene, cfg)
+
     def run_span(st, start, stop):
         """Scan [start, stop) bounces in remat blocks (remainder block last),
         with the span's RNG hoisted into one upfront kernel."""
@@ -928,6 +956,10 @@ def trace_rays_diff(scene: CompiledScene, cfg: RayConfig, state: RayState, key):
             jax.random.fold_in(key, 0x7A000 + start),
             (n, st.origin.shape[0], n_u), st.origin.dtype,
         )
+        if fspec is not None:
+            from .pallas_fused import fused_span
+
+            return fused_span(scene, fspec, st, u_all)
         full = n // R
         if full:
             st, _ = jax.lax.scan(
