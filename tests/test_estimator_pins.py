@@ -148,3 +148,87 @@ def test_ggx_white_furnace():
     # energy monotonically lost to shadowing as roughness grows
     assert a_smooth >= a_mid - tol >= a_rough - 2 * tol, (
         a_smooth, a_mid, a_rough)
+
+
+def test_conductor_reflectance_tabulated_aluminium():
+    """Conductor reflectance against the conducting-Fresnel closed form
+    evaluated on the library's measured aluminium n/k tables, at normal
+    and 45 deg incidence (VERDICT r3 #8; reference conductor.pyx:77-149).
+    One mirror bounce: the throughput multiplier IS the spectral
+    reflectance."""
+    from source_tpu.optical.library import Aluminium
+    from source_tpu.optical.library.metal import metal_nk
+
+    mat = Aluminium()
+    w = World()
+    Box(lower=Point3D(-100.0, -100.0, 1.0), upper=Point3D(100.0, 100.0, 2.0),
+        parent=w, material=mat)
+    bins = 6
+    scene = compile_scene(w, SpectralConfig(400.0, 700.0, bins))
+    cfg = RayConfig(max_depth=4, extinction_prob=0.0, max_iters=4,
+                    importance_sampling=False)
+    # closed form from the RAW measured table, resampled independently
+    lam_nm, n_tab, k_tab = metal_nk("aluminium")
+    centres = 400.0 + (np.arange(bins) + 0.5) * (300.0 / bins)
+    n_c = np.interp(centres, lam_nm, n_tab)
+    k_c = np.interp(centres, lam_nm, k_tab)
+
+    def closed_form(ci):
+        ci2 = ci * ci
+        n2k2 = n_c**2 + k_c**2
+        t = 2.0 * n_c * ci
+        rs = (n2k2 - t + ci2) / (n2k2 + t + ci2)
+        rp = (n2k2 * ci2 - t + 1.0) / (n2k2 * ci2 + t + 1.0)
+        return 0.5 * (rs + rp)
+
+    N = 64
+    for theta_deg in (0.0, 45.0):
+        th = math.radians(theta_deg)
+        d = jnp.broadcast_to(
+            jnp.asarray([math.sin(th), 0.0, math.cos(th)], jnp.float32),
+            (N, 3))
+        state = init_rays(jnp.zeros((N, 3)), d, scene.bins)
+        nxt = trace_step(scene, cfg, state, jax.random.PRNGKey(1))
+        got = np.asarray(nxt.throughput)[0]
+        # InterpolatedSF bakes a bin AVERAGE of the linear interpolant while
+        # the pin interpolates at bin centres: identical physics, slightly
+        # different quadrature -> 2% tolerance
+        np.testing.assert_allclose(got, closed_form(math.cos(th)),
+                                   rtol=2e-2, err_msg=f"theta={theta_deg}")
+
+
+def test_beer_lambert_slab_closed_form():
+    """Dielectric volume attenuation through a glass slab equals
+    transmission^path_length exactly (dielectric.pyx:313-328), at normal
+    and oblique incidence (oblique path = h / cos(theta_internal))."""
+    n_glass = 1.5
+    T = 0.35  # transmission per metre
+    h = 0.6
+    w = World()
+    Box(lower=Point3D(-100.0, -100.0, 1.0),
+        upper=Point3D(100.0, 100.0, 1.0 + h), parent=w,
+        material=Dielectric(ConstantSF(n_glass), ConstantSF(T),
+                            transmission_only=True))
+    # black backstop so exited rays terminate
+    Box(lower=Point3D(-101.0, -101.0, 50.0), upper=Point3D(101.0, 101.0, 51.0),
+        parent=w, material=AbsorbingSurface())
+    scene = compile_scene(w, SpectralConfig(400.0, 700.0, 3))
+    cfg = RayConfig(max_depth=8, extinction_prob=0.0, max_iters=8,
+                    importance_sampling=False)
+    N = 8
+    for theta_deg in (0.0, 40.0):
+        th = math.radians(theta_deg)
+        d = jnp.broadcast_to(
+            jnp.asarray([math.sin(th), 0.0, math.cos(th)], jnp.float32),
+            (N, 3))
+        st = init_rays(jnp.zeros((N, 3)), d, scene.bins)
+        # step 1: enter slab (transmission_only -> no reflected lanes);
+        # step 2: traverse + exit (volume attenuation applies to the
+        # inside segment); throughput afterwards is the Beer factor
+        st = trace_step(scene, cfg, st, jax.random.PRNGKey(2))
+        st = trace_step(scene, cfg, st, jax.random.PRNGKey(3))
+        got = np.asarray(st.throughput)[0, 0]
+        s2 = math.sin(th) / n_glass
+        path = h / math.sqrt(1.0 - s2 * s2)
+        np.testing.assert_allclose(got, T ** path, rtol=1e-3,
+                                   err_msg=f"theta={theta_deg}")
