@@ -18,7 +18,7 @@ print(f"mesh: {len(f)} tris, gen {time.time()-t0:.1f}s", flush=True)
 t0=time.time()
 data = MeshData(v, f, smoothing=True, closed=True)
 tables = data.to_tables(np.eye(4), np.eye(4))
-print(f"BVH+pack {time.time()-t0:.1f}s; pages: {len(tables.page_meta) or 1}, "
+print(f"BVH+pack {time.time()-t0:.1f}s; pages: {tables.page_meta[0] if tables.page_meta else 1}, "
       f"paged={bool(tables.page_meta)}", flush=True)
 
 N = 1 << 17

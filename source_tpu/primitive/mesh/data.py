@@ -149,15 +149,13 @@ class MeshData:
         if packed is not None:
             packed = {k: jnp.asarray(v) for k, v in packed.items()}
         else:
-            # tables exceed VMEM: page the mesh (per-page private BVHs)
-            pages, metas = pack_mesh_paged_host(
+            # tables exceed VMEM: page the mesh (per-page private BVHs,
+            # stacked into one table set for the single paged kernel)
+            stacked, metas = pack_mesh_paged_host(
                 self.vertices, self.triangles, max_leaf=self.max_leaf,
             )
-            if pages is not None:
-                packed = tuple(
-                    {k: jnp.asarray(v) for k, v in page.items()}
-                    for page in pages
-                )
+            if stacked is not None:
+                packed = {k: jnp.asarray(v) for k, v in stacked.items()}
                 page_meta = metas
 
         return MeshTables(

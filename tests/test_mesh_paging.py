@@ -58,13 +58,13 @@ def _rays(n, seed=0):
 def _paged_tables(data):
     """Force the paged packing regardless of table size."""
     tables = data.to_tables(np.eye(4), np.eye(4))
-    pages, metas = pallas_mesh.pack_mesh_paged_host(
+    stacked, metas = pallas_mesh.pack_mesh_paged_host(
         data.vertices, data.triangles, max_leaf=data.max_leaf,
         page_limit=8 * 1024,  # tiny pages -> many of them
     )
-    assert pages is not None and len(pages) > 1
-    pages = tuple({k: jnp.asarray(v) for k, v in p.items()} for p in pages)
-    return dataclasses.replace(tables, packed=pages, page_meta=metas)
+    assert stacked is not None and metas[0] > 1
+    stacked = {k: jnp.asarray(v) for k, v in stacked.items()}
+    return dataclasses.replace(tables, packed=stacked, page_meta=metas)
 
 
 def test_paged_matches_single_table():
@@ -97,7 +97,7 @@ def test_paged_dispatch_through_mesh_intersect(monkeypatch):
     data = MeshData(v, f, smoothing=False, closed=True)
     tables = data.to_tables(np.eye(4), np.eye(4))
     assert tables.page_meta, "expected the paged packing to engage"
-    assert isinstance(tables.packed, tuple)
+    assert isinstance(tables.packed, dict) and "meta" in tables.packed
     o, d, tmin = _rays(256, seed=3)
     ref = _mesh_intersect_xla(tables, o, d, tmin)
     got = pallas_mesh.mesh_intersect_pallas_paged_impl(tables, o, d, tmin)
