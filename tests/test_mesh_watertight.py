@@ -116,3 +116,215 @@ def test_contains_sweep_f32():
     got = np.asarray(entity_contains(scene, jnp.asarray(pts)))[:, 0]
     leaks = expected != got
     assert not leaks.any(), pts[leaks][:10]
+
+
+# --- irregular-mesh (bunny-class) watertightness (VERDICT r3 next #7) --------
+# The cube tests above prove the crack-free property for axis-aligned
+# geometry only; these aim rays exactly at shared edges/vertices of a
+# closed DISPLACED icosphere (the repo's bunny stand-in: irregular,
+# sliver-prone triangles at every orientation) including grazing-incidence
+# silhouette aims, and march each ray through the full solid asserting an
+# EVEN crossing count with alternating enter/exit flags — a double-hit or
+# a leak at any shared feature breaks the parity. Reference algorithm
+# this substitutes for: the Woop-Benthin-Wald watertight test,
+# mesh.pyx:566-713.
+
+
+def _blob_mesh(subdiv=3, seed=11, **kw):
+    """Closed displaced icosphere: irregular triangles, no two coplanar."""
+    t = (1.0 + 5.0 ** 0.5) / 2.0
+    verts = np.array([
+        [-1, t, 0], [1, t, 0], [-1, -t, 0], [1, -t, 0],
+        [0, -1, t], [0, 1, t], [0, -1, -t], [0, 1, -t],
+        [t, 0, -1], [t, 0, 1], [-t, 0, -1], [-t, 0, 1]], np.float64)
+    verts /= np.linalg.norm(verts, axis=1, keepdims=True)
+    faces = np.array([
+        [0, 11, 5], [0, 5, 1], [0, 1, 7], [0, 7, 10], [0, 10, 11],
+        [1, 5, 9], [5, 11, 4], [11, 10, 2], [10, 7, 6], [7, 1, 8],
+        [3, 9, 4], [3, 4, 2], [3, 2, 6], [3, 6, 8], [3, 8, 9],
+        [4, 9, 5], [2, 4, 11], [6, 2, 10], [8, 6, 7], [9, 8, 1]], np.int32)
+    for _ in range(subdiv):
+        cache, new_faces = {}, []
+        vl = list(verts)
+
+        def midpoint(a, b):
+            key = (min(a, b), max(a, b))
+            if key not in cache:
+                m = vl[a] + vl[b]
+                m /= np.linalg.norm(m)
+                cache[key] = len(vl)
+                vl.append(m)
+            return cache[key]
+
+        for a, b, c in faces:
+            ab, bc, ca = midpoint(a, b), midpoint(b, c), midpoint(c, a)
+            new_faces += [[a, ab, ca], [b, bc, ab], [c, ca, bc], [ab, bc, ca]]
+        verts = np.asarray(vl)
+        faces = np.asarray(new_faces, np.int32)
+    # lumpy displacement -> irregular/sliver triangles at all orientations
+    rng = np.random.RandomState(seed)
+    amps = rng.uniform(-1, 1, (6, 4))
+    r = 1.0
+    for k in range(6):
+        r = r + 0.12 * amps[k, 0] * np.sin(
+            (k + 1) * verts[:, 0] + amps[k, 1]) * np.cos(
+            (k + 2) * verts[:, 1] + amps[k, 2]) * np.sin(
+            (k + 1) * verts[:, 2] + amps[k, 3])
+    verts = verts * r[:, None]
+    return (Mesh(vertices=verts.astype(np.float32), triangles=faces,
+                 smoothing=False, closed=True, **kw),
+            verts.astype(np.float32), faces)
+
+
+def _march_crossings(scene, o, d, max_steps=16):
+    """All surface crossings along each ray.
+
+    Returns (count[N], crossings) where crossings is a list of
+    (s, exiting) arrays per step (s = cumulative path distance, NaN when
+    that step found nothing for the lane)."""
+    N = o.shape[0]
+    o = jnp.asarray(o, jnp.float32)
+    d = jnp.asarray(d, jnp.float32)
+    count = np.zeros(N, np.int64)
+    s_total = np.zeros(N, np.float64)
+    active = np.ones(N, bool)
+    crossings = []
+    fn = jax.jit(lambda o, d: intersect_scene(scene, o, d))
+    for _ in range(max_steps):
+        rec = fn(o, d)
+        hit = np.asarray(rec.hit) & active
+        if not hit.any():
+            break
+        ex = np.asarray(rec.exiting)
+        t = np.asarray(rec.t)
+        s_here = np.where(hit, s_total + t, np.nan)
+        crossings.append((s_here, ex))
+        count += hit
+        step = np.where(hit, t + 1e-4 * (1.0 + np.abs(t)), 0.0)
+        s_total += step
+        o = o + jnp.asarray(step[:, None], jnp.float32) * d
+        active &= hit
+    return count, crossings
+
+
+def _lane_crossings(crossings, lane):
+    ss, exs = [], []
+    for s_arr, ex_arr in crossings:
+        if np.isfinite(s_arr[lane]):
+            ss.append(float(s_arr[lane]))
+            exs.append(bool(ex_arr[lane]))
+    return ss, exs
+
+
+def _strict_parity_ok(ss, exs):
+    """Even count, strict enter/exit alternation starting with an enter."""
+    if len(exs) % 2:
+        return False
+    expect = False
+    for ex in exs:
+        if ex != expect:
+            return False
+        expect = not expect
+    return True
+
+
+def test_blob_edge_vertex_grazing_watertight():
+    w = World()
+    mesh, verts, faces = _blob_mesh(parent=w, material=AbsorbingSurface())
+    scene = compile_scene(w, SpectralConfig(375.0, 740.0, 1))
+    rng = np.random.RandomState(3)
+
+    # shared edges + vertices, with face normals for grazing construction
+    e0 = verts[faces[:, [0, 1, 2]].ravel()]
+    e1 = verts[faces[:, [1, 2, 0]].ravel()]
+    n_f = np.cross(verts[faces[:, 1]] - verts[faces[:, 0]],
+                   verts[faces[:, 2]] - verts[faces[:, 0]])
+    n_f /= np.linalg.norm(n_f, axis=1, keepdims=True)
+    n_e = np.repeat(n_f, 3, axis=0)
+
+    targets, origins = [], []
+    sel = rng.choice(len(e0), 64, replace=False)
+    for i in sel:
+        m = 0.5 * (e0[i] + e1[i])  # shared-edge midpoint
+        o = m - 4.0 * (m / np.linalg.norm(m)) + rng.normal(scale=0.3, size=3)
+        targets.append(m)
+        origins.append(o)
+    vsel = rng.choice(len(verts), 32, replace=False)
+    for i in vsel:
+        v = verts[i]
+        o = v - 4.0 * (v / np.linalg.norm(v)) + rng.normal(scale=0.3, size=3)
+        targets.append(v)
+        origins.append(o)
+    targets = np.asarray(targets)
+    origins = np.asarray(origins)
+    d = targets - origins
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+
+    count, crossings = _march_crossings(scene, origins, d)
+    # every edge/vertex-aimed ray passes through the closed surface with a
+    # strictly alternating even crossing sequence: a leak at the shared
+    # feature (neither triangle hit) or a double-hit (both counted) breaks
+    # this for near-normal incidence
+    assert (count >= 2).all(), count.min()
+    for lane in range(len(origins)):
+        ss, exs = _lane_crossings(crossings, lane)
+        assert _strict_parity_ok(ss, exs), (lane, ss, exs)
+
+    # grazing-incidence silhouette aims: direction nearly tangent at a
+    # shared edge midpoint, origin well outside. At tangency the surface
+    # can be KISSED (enter+exit closer than the eps re-march resolution —
+    # the reference next_intersection re-march, mesh.pyx:1213-1276, has
+    # the same floor), so instead of flag parity the assertion uses the
+    # CONTAINMENT ORACLE: wherever a crossing's two sides genuinely lie in
+    # different regions, the exiting flag must match the transition, and
+    # every terminated march must end OUTSIDE the closed solid (a crack
+    # would strand the parity inside).
+    gsel = rng.choice(len(e0), 48, replace=False)
+    g_o, g_d = [], []
+    for i in gsel:
+        m = 0.5 * (e0[i] + e1[i])
+        n = n_e[i]
+        tangent = np.cross(n, rng.normal(size=3))
+        tangent /= np.linalg.norm(tangent)
+        dd = tangent - 0.01 * n  # graze inward
+        dd /= np.linalg.norm(dd)
+        g_o.append(m - 6.0 * dd)  # well outside the blob's max radius
+        g_d.append(dd)
+    g_o = np.asarray(g_o)
+    g_d = np.asarray(g_d)
+    assert (np.linalg.norm(g_o, axis=1) > 2.5).all()  # origins outside
+    count, crossings = _march_crossings(scene, g_o, g_d)
+    assert (count >= 1).sum() >= len(g_o) // 2  # the sweep hits things
+
+    eps_probe = 2e-3
+    probes = []
+    probe_meta = []  # (lane, j, exiting)
+    ends = []
+    for lane in range(len(g_o)):
+        ss, exs = _lane_crossings(crossings, lane)
+        for j, (sj, ex) in enumerate(zip(ss, exs)):
+            near_prev = j > 0 and sj - ss[j - 1] < 2 * eps_probe
+            near_next = j + 1 < len(ss) and ss[j + 1] - sj < 2 * eps_probe
+            if near_prev or near_next:
+                continue  # probe windows would straddle a neighbour
+            probes.append(g_o[lane] + (sj - eps_probe) * g_d[lane])
+            probes.append(g_o[lane] + (sj + eps_probe) * g_d[lane])
+            probe_meta.append((lane, j, ex))
+        if len(ss) < 14:  # march terminated (did not truncate at max_steps)
+            end_s = (ss[-1] + eps_probe) if ss else 12.0
+            ends.append((lane, g_o[lane] + end_s * g_d[lane]))
+    all_pts = np.asarray(probes + [p for _, p in ends], np.float32)
+    inside = np.asarray(entity_contains(
+        scene, jnp.asarray(all_pts)))[:, 0]
+    n_checked = 0
+    for k, (lane, j, ex) in enumerate(probe_meta):
+        c_b, c_a = bool(inside[2 * k]), bool(inside[2 * k + 1])
+        if c_b != c_a:
+            # true boundary transition: flag must agree (exiting == was
+            # inside before the crossing)
+            assert ex == c_b, (lane, j, ex, c_b, c_a)
+            n_checked += 1
+        # c_b == c_a is a tangential kiss: flag genuinely ambiguous
+    assert n_checked >= len(g_o)  # the oracle check is not vacuous
+    for k, (lane, _pt) in enumerate(ends):
+        assert not bool(inside[2 * len(probe_meta) + k]), lane
