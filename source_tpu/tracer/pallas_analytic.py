@@ -199,9 +199,12 @@ def pack_leaf_bvh_host(leaf_types, l2w, w2l, params, leaf_ids,
 
     # per-item record rows (order-permuted); csg rows stay un-permuted in
     # their own table, referenced by row index from the record
-    w2l_a = np.asarray(w2l, np.float64).reshape(max(n, 1), 4, 4)[:n]
-    l2w_a = np.asarray(l2w, np.float64).reshape(max(n, 1), 4, 4)[:n]
-    params_a = np.asarray(params, np.float64).reshape(max(n, 1), -1)[:n]
+    w2l_a = (np.asarray(w2l, np.float64).reshape(n, 4, 4)
+             if n else np.zeros((0, 4, 4)))
+    l2w_a = (np.asarray(l2w, np.float64).reshape(n, 4, 4)
+             if n else np.zeros((0, 4, 4)))
+    params_a = (np.asarray(params, np.float64).reshape(n, -1)
+                if n else np.zeros((0, 8)))
     ents_a = (np.zeros(n) if leaf_entities is None
               else np.asarray(leaf_entities, np.float64))
     leaves = np.zeros((n_items, 23), np.float64)

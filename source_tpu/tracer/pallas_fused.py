@@ -683,7 +683,8 @@ def _bounce_core(spec: FusedSpec, tget, state, u, bits):
     exiting = dec(ins_sel, B_EXIT)
     # orient outward-away-from-solid (intersect.py flip rule)
     ddn = d[0] * nwx + d[1] * nwy + d[2] * nwz
-    flip = jnp.where(exiting, ddn < 0.0, ddn > 0.0)
+    # boolean algebra, not select: Mosaic rejects vector selects on i1
+    flip = (exiting & (ddn < 0.0)) | (~exiting & (ddn > 0.0))
     fs = jnp.where(flip, -1.0, 1.0)
     n = (nwx * fs, nwy * fs, nwz * fs)
 
