@@ -92,14 +92,17 @@ def test_bvh_is_built(scenes):
     assert s_str.leaf_bvh is None
     n_nodes, max_leaf, present = s_bvh.leaf_bvh_meta[:3]
     assert n_nodes >= 3 and max_leaf >= 1
-    # kernel record codes: 0-4 general local-frame, 6/7 world-space fast
-    assert set(present) <= {0, 1, 2, 3, 4, 6, 7}
+    # kernel record codes: 0-4 general local-frame, 6/7 world-space fast,
+    # 8 small-CSG interval records
+    assert set(present) <= {0, 1, 2, 3, 4, 6, 7, 8}
     # rigid spheres in this scene take the world-sphere fast record
     assert 6 in present
+    # the convex-children CSG solid takes a kernel interval record
+    assert 8 in present and len(s_bvh.kernel_csg_entities) == 1
     # the recompute dispatch list keeps the ORIGINAL analytic types
     assert set(s_bvh.leaf_bvh_meta[5]) <= {0, 1, 2, 3, 4}
-    # torus + csg children excluded
-    assert len(s_bvh.bvh_leaf_ids) == 14
+    # torus excluded; the covered CSG children count as kernel-covered
+    assert len(s_bvh.bvh_leaf_ids) == 16
 
 
 def test_record_parity(scenes):
