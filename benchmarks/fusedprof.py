@@ -117,7 +117,7 @@ def main():
         def body(carry, xs):
             go, gd, gthr = carry
             o_k, d_k, thr_k, aux_k, bits_k, u_k = xs
-            ngo, ngd, ngthr = pf._bounce_bwd_call(
+            ngo, ngd, ngthr, _gt = pf._bounce_bwd_call(
                 spec, tv, o_k, d_k, thr_k, aux_k, u_k, bits_k,
                 go, gd, gthr, g_rad)
             return (ngo, ngd, ngthr), None
@@ -155,6 +155,38 @@ def main():
     t = _median_time(full_xla, scene)
     os.environ.pop("SOURCE_TPU_FUSED", None)
     res["full_xla_ms"] = round(1e3 * t, 2)
+
+    # 7. diagnostics for the forward-kernel cost anomaly:
+    #    (a) replay-mode forward (decisions from saved bits -> the decision
+    #        subgraph and bits assembly are absent, like the bwd kernel's
+    #        primal recompute)
+    #    (b) IO floor: same launches + block DMA, near-zero compute
+    @jax.jit
+    def fwd_then_replay(tabvec, st, u_p):
+        def body(carry, u_t):
+            new, bits = pf._bounce_fwd_call(spec, tabvec, carry, u_t)
+            return new, bits
+        _, bits_all = jax.lax.scan(body, st, u_p)
+
+        def body2(carry, xs):
+            u_t, bits_t = xs
+            new = pf._bounce_replay_call(spec, tabvec, carry, u_t, bits_t)
+            return new, None
+        out, _ = jax.lax.scan(body2, st, (u_p, bits_all))
+        return out["rad"]
+
+    t2 = _median_time(fwd_then_replay, tabvec, packed, u_p)
+    res["fwd_plus_replay_ms"] = round(1e3 * t2, 2)
+    res["replay_only_ms"] = round(1e3 * (t2 - res["fwd_fused_ms"] / 1e3), 2)
+
+    @jax.jit
+    def io_floor(tabvec, st, u_p):
+        def body(carry, u_t):
+            return pf._bounce_io_call(spec, tabvec, carry, u_t), None
+        out, _ = jax.lax.scan(body, st, u_p)
+        return out["rad"]
+
+    res["io_floor_ms"] = round(1e3 * _median_time(io_floor, tabvec, packed, u_p), 2)
 
     res["derived"] = {
         "bwd_kernels_ms": round(

@@ -1201,21 +1201,151 @@ def _bounce_fwd_call(spec, tabvec, st, u_t):
     return {"o": o, "d": d, "thr": thr, "rad": rad, "aux": aux}, bits
 
 
-# --- backward kernel (path-state cotangents) --------------------------------
+# --- diagnostic kernel variants (benchmarks/fusedprof.py) --------------------
 
 
-def _bwd_kernel(spec, tab_ref, o_ref, d_ref, thr_ref, aux_ref, u_ref, bits_ref,
-                go_ref, gd_ref, gthr_ref, grad_ref, go_out, gd_out, gthr_out):
+def _replay_kernel(spec, tab_ref, o_ref, d_ref, thr_ref, rad_ref, aux_ref,
+                   u_ref, bits_ref, o_out, d_out, thr_out, rad_out):
+    """Forward bounce with decisions REPLAYED from bits (no decision
+    subgraph, no bits assembly) — isolates the cost of the choose path."""
     B = spec.bins
-    tget = lambda k: tab_ref[k]
+    state = {
+        "o": (o_ref[0], o_ref[1], o_ref[2]),
+        "d": (d_ref[0], d_ref[1], d_ref[2]),
+        "thr": tuple(thr_ref[b] for b in range(B)),
+        "alive": aux_ref[0] > 0.5,
+        "depth": aux_ref[1],
+    }
+    out = _bounce_core(spec, lambda k: tab_ref[k], state,
+                       tuple(u_ref[k] for k in range(10)), bits_ref[...])
+    for c in range(3):
+        o_out[c] = out["o"][c]
+        d_out[c] = out["d"][c]
+    for b in range(B):
+        thr_out[b] = out["thr"][b]
+        rad_out[b] = rad_ref[b] + out["rad_delta"][b]
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _bounce_replay_call(spec, tabvec, st, u_t, bits):
+    B = spec.bins
+    R = st["o"].shape[1]
+    o, d, thr, rad = pl.pallas_call(
+        functools.partial(_replay_kernel, spec),
+        grid=(R // _SUB,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  _vm((3, _SUB, _LANES)), _vm((3, _SUB, _LANES)),
+                  _vm((B, _SUB, _LANES)), _vm((B, _SUB, _LANES)),
+                  _vm((2, _SUB, _LANES)), _vm((10, _SUB, _LANES)),
+                  pl.BlockSpec((_SUB, _LANES), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=(_vm((3, _SUB, _LANES)), _vm((3, _SUB, _LANES)),
+                   _vm((B, _SUB, _LANES)), _vm((B, _SUB, _LANES))),
+        out_shape=(
+            jax.ShapeDtypeStruct((3, R, _LANES), jnp.float32),
+            jax.ShapeDtypeStruct((3, R, _LANES), jnp.float32),
+            jax.ShapeDtypeStruct((B, R, _LANES), jnp.float32),
+            jax.ShapeDtypeStruct((B, R, _LANES), jnp.float32),
+        ),
+        interpret=_interpret(),
+    )(tabvec, st["o"], st["d"], st["thr"], st["rad"], st["aux"], u_t, bits)
+    return {"o": o, "d": d, "thr": thr, "rad": rad, "aux": st["aux"]}
+
+
+def _io_kernel(spec, tab_ref, o_ref, d_ref, thr_ref, rad_ref, aux_ref, u_ref,
+               o_out, d_out, thr_out, rad_out, aux_out, bits_out):
+    """Pure IO: same launches and block DMA as the fwd kernel, near-zero
+    compute — the launch+DMA floor."""
+    B = spec.bins
+    s = tab_ref[0] + u_ref[0]
+    for c in range(3):
+        o_out[c] = o_ref[c] + s * 0.0
+        d_out[c] = d_ref[c]
+    for b in range(B):
+        thr_out[b] = thr_ref[b]
+        rad_out[b] = rad_ref[b]
+    aux_out[0] = aux_ref[0]
+    aux_out[1] = aux_ref[1]
+    bits_out[...] = jnp.zeros_like(o_ref[0], dtype=jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _bounce_io_call(spec, tabvec, st, u_t):
+    B = spec.bins
+    R = st["o"].shape[1]
+    o, d, thr, rad, aux, _bits = pl.pallas_call(
+        functools.partial(_io_kernel, spec),
+        grid=(R // _SUB,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  _vm((3, _SUB, _LANES)), _vm((3, _SUB, _LANES)),
+                  _vm((B, _SUB, _LANES)), _vm((B, _SUB, _LANES)),
+                  _vm((2, _SUB, _LANES)), _vm((10, _SUB, _LANES))],
+        out_specs=(_vm((3, _SUB, _LANES)), _vm((3, _SUB, _LANES)),
+                   _vm((B, _SUB, _LANES)), _vm((B, _SUB, _LANES)),
+                   _vm((2, _SUB, _LANES)), _lane_spec()),
+        out_shape=(
+            jax.ShapeDtypeStruct((3, R, _LANES), jnp.float32),
+            jax.ShapeDtypeStruct((3, R, _LANES), jnp.float32),
+            jax.ShapeDtypeStruct((B, R, _LANES), jnp.float32),
+            jax.ShapeDtypeStruct((B, R, _LANES), jnp.float32),
+            jax.ShapeDtypeStruct((2, R, _LANES), jnp.float32),
+            jax.ShapeDtypeStruct((R, _LANES), jnp.int32),
+        ),
+        interpret=_interpret(),
+    )(tabvec, st["o"], st["d"], st["thr"], st["rad"], st["aux"], u_t)
+    return {"o": o, "d": d, "thr": thr, "rad": rad, "aux": aux}
+
+
+# --- backward kernel (path-state + table cotangents) ------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def used_offsets(spec):
+    """Table-vector offsets the bounce core READS in replay (bits) mode,
+    recorded at trace time — the backward kernel takes exactly these as
+    differentiable inputs. Padded to a sublane multiple for the per-tile
+    cotangent output block."""
+    import numpy as _np
+
+    rec = set()
+
+    def tget(k):
+        rec.add(int(k))
+        return _np.float32(0.125)
+
+    def run(x):
+        state = {"o": (x, x, x), "d": (x, x, x),
+                 "thr": tuple(x for _ in range(spec.bins)),
+                 "alive": x > 0.5, "depth": x}
+        u = tuple(x for _ in range(10))
+        bits = jnp.zeros((4,), jnp.int32)
+        out = _bounce_core(spec, tget, state, u, bits)
+        return out["o"][0]
+
+    jax.eval_shape(run, jax.ShapeDtypeStruct((4,), jnp.float32))
+    used = tuple(sorted(rec))
+    n_pad = (-len(used)) % _SUB
+    return used, len(used) + n_pad
+
+
+def _bwd_kernel(spec, used, u_rows, tab_ref, o_ref, d_ref, thr_ref, aux_ref,
+                u_ref, bits_ref, go_ref, gd_ref, gthr_ref, grad_ref,
+                go_out, gd_out, gthr_out, gt_out):
+    B = spec.bins
     alive = aux_ref[0] > 0.5
     depth = aux_ref[1]
     u = tuple(u_ref[k] for k in range(10))
     bits = bits_ref[...]
+    zero = jnp.zeros_like(o_ref[0])
+    # pre-broadcast the used table scalars so their vjp cotangents come
+    # back PER LANE (no in-graph broadcast transpose -> full reduce); the
+    # kernel then folds lanes itself (sublane sum; the caller sums tiles)
+    tvals = tuple(tab_ref[k] + zero for k in used)
+    kmap = {k: i for i, k in enumerate(used)}
 
-    def f(o3, d3, thr):
+    def f(o3, d3, thr, tv):
         out = _bounce_core(
-            spec, tget,
+            spec, lambda k: tv[kmap[k]],
             {"o": o3, "d": d3, "thr": thr, "alive": alive, "depth": depth},
             u, bits)
         return out["o"], out["d"], out["thr"], out["rad_delta"]
@@ -1223,27 +1353,35 @@ def _bwd_kernel(spec, tab_ref, o_ref, d_ref, thr_ref, aux_ref, u_ref, bits_ref,
     primals = ((o_ref[0], o_ref[1], o_ref[2]),
                (d_ref[0], d_ref[1], d_ref[2]),
                tuple(thr_ref[b] for b in range(B)))
-    _, vjp = jax.vjp(f, *primals)
+    _, vjp = jax.vjp(f, *primals, tvals)
     cots = ((go_ref[0], go_ref[1], go_ref[2]),
             (gd_ref[0], gd_ref[1], gd_ref[2]),
             tuple(gthr_ref[b] for b in range(B)),
             tuple(grad_ref[b] for b in range(B)))
-    go, gd, gthr = vjp(cots)
+    go, gd, gthr, gtv = vjp(cots)
     for c in range(3):
         go_out[c] = go[c]
         gd_out[c] = gd[c]
     for b in range(B):
         gthr_out[b] = gthr[b]
+    for i in range(u_rows):
+        if i < len(used):
+            gt_out[0, i] = jnp.sum(gtv[i], axis=0)
+        else:
+            gt_out[0, i] = jnp.zeros((_LANES,), jnp.float32)
 
 
 @functools.partial(jax.jit, static_argnums=(0,))
 def _bounce_bwd_call(spec, tabvec, o_k, d_k, thr_k, aux_k, u_k, bits_k,
                      go, gd, gthr, g_rad):
+    """Returns (go, gd, gthr, gt) — gt is the per-tile partial table
+    cotangent [tiles, U_pad, 128] (sum over tiles+lanes outside)."""
     B = spec.bins
     R = o_k.shape[1]
     grid = R // _SUB
+    used, u_rows = used_offsets(spec)
     return pl.pallas_call(
-        functools.partial(_bwd_kernel, spec),
+        functools.partial(_bwd_kernel, spec, used, u_rows),
         grid=(grid,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                   _vm((3, _SUB, _LANES)), _vm((3, _SUB, _LANES)),
@@ -1254,11 +1392,14 @@ def _bounce_bwd_call(spec, tabvec, o_k, d_k, thr_k, aux_k, u_k, bits_k,
                   _vm((3, _SUB, _LANES)), _vm((3, _SUB, _LANES)),
                   _vm((B, _SUB, _LANES)), _vm((B, _SUB, _LANES))],
         out_specs=(_vm((3, _SUB, _LANES)), _vm((3, _SUB, _LANES)),
-                   _vm((B, _SUB, _LANES))),
+                   _vm((B, _SUB, _LANES)),
+                   pl.BlockSpec((1, u_rows, _LANES), lambda i: (i, 0, 0),
+                                memory_space=pltpu.VMEM)),
         out_shape=(
             jax.ShapeDtypeStruct((3, R, _LANES), jnp.float32),
             jax.ShapeDtypeStruct((3, R, _LANES), jnp.float32),
             jax.ShapeDtypeStruct((B, R, _LANES), jnp.float32),
+            jax.ShapeDtypeStruct((grid, u_rows, _LANES), jnp.float32),
         ),
         interpret=_interpret(),
     )(tabvec, o_k, d_k, thr_k, aux_k, u_k, bits_k, go, gd, gthr, g_rad)
@@ -1292,54 +1433,29 @@ def _span_fwd(meta, tabvec, st, u_all):
 
 def _span_bwd(meta, res, g):
     spec, _n = meta
-    B = spec.bins
     tabvec, u_all, (os_, ds_, thrs, auxs, bits) = res
     g_st, _g_seg = g
     g_rad = g_st["rad"]
+    used, u_rows = used_offsets(spec)
 
     def body(carry, xs):
-        go, gd, gthr = carry
+        go, gd, gthr, gt_acc = carry
         o_k, d_k, thr_k, aux_k, bits_k, u_k = xs
-        ngo, ngd, ngthr = _bounce_bwd_call(
+        ngo, ngd, ngthr, gt = _bounce_bwd_call(
             spec, tabvec, o_k, d_k, thr_k, aux_k, u_k, bits_k,
             go, gd, gthr, g_rad)
-        return (ngo, ngd, ngthr), (go, gd, gthr)
+        # fold this bounce's per-tile table cotangents immediately
+        # (tiles + lanes) so the scan carries only a [U_pad] vector
+        return (ngo, ngd, ngthr, gt_acc + jnp.sum(gt, axis=(0, 2))), None
 
-    (go0, gd0, gthr0), gys = jax.lax.scan(
-        body, (g_st["o"], g_st["d"], g_st["thr"]),
+    (go0, gd0, gthr0, gt_used), _ = jax.lax.scan(
+        body,
+        (g_st["o"], g_st["d"], g_st["thr"],
+         jnp.zeros((u_rows,), jnp.float32)),
         (os_, ds_, thrs, auxs, bits, u_all), reverse=True)
 
-    # batched table cotangents: every (bounce, lane) pair's local vjp w.r.t.
-    # the table vector at once — no serial chain once per-bounce entry
-    # states and output cotangents are known
-    D = os_.shape[0]
-
-    def flat(x):  # [D, C, R, L] -> tuple of C [D*R*L]
-        C = x.shape[1]
-        return tuple(x[:, c].reshape(-1) for c in range(C))
-
-    st_flat = {
-        "o": flat(os_), "d": flat(ds_), "thr": flat(thrs),
-        "alive": auxs[:, 0].reshape(-1) > 0.5,
-        "depth": auxs[:, 1].reshape(-1),
-    }
-    u_flat = flat(u_all)
-    bits_flat = bits.reshape(-1)
-    gyo, gyd, gythr = gys
-
-    def table_loss(tv):
-        out = _bounce_core(spec, lambda k: tv[k], st_flat, u_flat, bits_flat)
-        tot = jnp.zeros((), jnp.float32)
-        for c in range(3):
-            tot = tot + jnp.sum(out["o"][c] * gyo[:, c].reshape(-1))
-            tot = tot + jnp.sum(out["d"][c] * gyd[:, c].reshape(-1))
-        for b in range(B):
-            tot = tot + jnp.sum(out["thr"][b] * gythr[:, b].reshape(-1))
-            tot = tot + jnp.sum(
-                out["rad_delta"][b].reshape(D, -1) * g_rad[b].reshape(-1)[None])
-        return tot
-
-    cot_tab = jax.grad(table_loss)(tabvec)
+    cot_tab = jnp.zeros_like(tabvec).at[
+        jnp.asarray(used, jnp.int32)].add(gt_used[: len(used)])
     cot_st = {
         "o": go0, "d": gd0, "thr": gthr0, "rad": g_rad,
         "aux": jnp.zeros_like(auxs[0]),
