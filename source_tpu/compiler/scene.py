@@ -143,6 +143,12 @@ class CompiledScene:
     # (convex-children interval records); the streaming resolve skips them
     kernel_csg_entities: Tuple = dataclasses.field(
         metadata=dict(static=True), default=())
+    # per-leaf world-space fast-record kind for the fused bounce kernel
+    # (0 = general local-frame, 1 = rigid/uniform-scale sphere -> world
+    # sphere, 2 = axis-permutation box -> world AABB); detected from the
+    # CONCRETE transforms at compile time, so it is static structure
+    leaf_fast_static: Tuple = dataclasses.field(
+        metadata=dict(static=True), default=())
     has_roughen: bool = dataclasses.field(metadata=dict(static=True), default=False)
     has_importance: bool = dataclasses.field(metadata=dict(static=True), default=False)
     # bin COUNT stays static (array shapes); the wavelength range is traced
@@ -332,6 +338,28 @@ def compile_scene(world: World, spectral: SpectralConfig, dtype=jnp.float32) -> 
         covered_children = []
     bvh_rows = list(bvh_rows) + covered_children
 
+    # world-space fast-record detection for the fused bounce kernel (same
+    # criteria as the packet kernel's KT_SPHERE_W / KT_BOX_W records)
+    leaf_fast = []
+    for i, r in enumerate(leaf_records):
+        kind = 0
+        R3 = l2w[i][:3, :3]
+        G = R3.T @ R3
+        s2 = G[0, 0]
+        # stricter than the packet kernel's rigid-sphere criterion: the
+        # fused kernel demands EXACT fp parity with the streaming path, so
+        # only pure TRANSLATIONS — where the local-frame test (o-c exact,
+        # unchanged radius) and the world-sphere test follow identical
+        # float routes — take the world-sphere record; rotations and
+        # scales keep general records
+        if r[0] == _a.TYPE_SPHERE and np.abs(R3 - np.eye(3)).max() <= 1e-12:
+            kind = 1
+        elif r[0] == _a.TYPE_BOX:
+            nz = np.abs(R3) > 1e-9 * max(1.0, np.abs(R3).max())
+            if (nz.sum(axis=0) == 1).all() and (nz.sum(axis=1) == 1).all():
+                kind = 2
+        leaf_fast.append(kind)
+
     # --- materials -----------------------------------------------------------------
     materials = []
     mat_index = {}
@@ -485,6 +513,7 @@ def compile_scene(world: World, spectral: SpectralConfig, dtype=jnp.float32) -> 
         leaf_bvh_meta=leaf_bvh_meta,
         bvh_leaf_ids=tuple(bvh_rows),
         kernel_csg_entities=tuple(kernel_csg),
+        leaf_fast_static=tuple(leaf_fast),
         type_slices=tuple(type_slices),
         n_leaves=n_leaves,
         n_entities=n_entities,

@@ -193,7 +193,12 @@ def make_frame(normal):
     divergence).
     """
     n = normal
-    s = jnp.where(n[..., 2] >= 0.0, 1.0, -1.0)
+    # sign threshold tolerates fp-noise zeros (a transform-produced normal
+    # carries nz ~ +-1e-7 where an analytically exact path gives +-0.0; the
+    # Duff construction is equally valid for either s as long as s+nz stays
+    # away from 0, so snapping the band to +1 keeps the CHOICE of frame
+    # deterministic across float routes)
+    s = jnp.where(n[..., 2] >= -1e-6, 1.0, -1.0)
     a = -1.0 / (s + n[..., 2])
     b = n[..., 0] * n[..., 1] * a
     t = jnp.stack(

@@ -75,6 +75,11 @@ __all__ = ["FusedSpec", "fused_spec", "pack_tabvec", "fused_span",
 
 _LANES = 128
 _SUB = 8
+# ray rows per kernel tile: the per-grid-step overhead (~12 us/step
+# measured on v5e, benchmarks/iovariants.py) dwarfs the compute at 8-row
+# tiles; the fused kernel is pure SIMD (no packet traversal -> no
+# divergence penalty), so bigger tiles just cut grid steps
+TILE_ROWS = 32
 _TILE = _SUB * _LANES
 _BIG = 3e38
 _PI = 3.14159265358979323846
@@ -113,7 +118,10 @@ WIN_SHIFT = 16     # 9 bits: winning leaf index
 class FusedSpec:
     """Static codegen spec derived from a CompiledScene + RayConfig."""
 
-    leaves: Tuple[Tuple[int, int, int], ...]  # (type_id, entity, mat_id)
+    # (type_id, entity, mat_id, fast_kind) per leaf; fast_kind: 0 general
+    # local-frame, 1 world sphere (rigid/uniform scale), 2 world AABB
+    # (axis-permutation box) — fast records skip the 12-scalar transform
+    leaves: Tuple[Tuple[int, int, int, int], ...]
     mat_types: Tuple[int, ...]                # mat id -> MAT_* code
     volumes: Tuple[Tuple[int, int, int, int], ...]  # (entity, mat, kind, leaf)
     check_entities: Tuple[int, ...]  # entities needing their own w2l rows
@@ -127,6 +135,19 @@ class FusedSpec:
     importance_sampling: bool
     important_path_weight: float
     max_distance: float
+
+
+def general_spec(spec):
+    """The spec with fast records disabled (all leaves general local-frame).
+
+    The DIFFERENTIABLE span uses this: a fast record's world-space
+    expression coincides with the general one in VALUE at the compiled
+    transform but is a different local extension of it, so its w2l
+    cotangents differ (e.g. the world-AABB route is blind to rotation
+    perturbations). Forward-only tracing keeps the fast records."""
+    return dataclasses.replace(
+        spec,
+        leaves=tuple((t, e, m, 0) for (t, e, m, _k) in spec.leaves))
 
 
 def fused_spec(scene, cfg):
@@ -172,12 +193,14 @@ def fused_spec(scene, cfg):
         leaf_entity[leaf] = e
     if len(leaf_entity) != scene.n_leaves:
         return None
+    fast = scene.leaf_fast_static or (0,) * scene.n_leaves
     leaves = []
     for g in range(scene.n_leaves):
         e = leaf_entity[g]
-        leaves.append((leaf_type[g], e, scene.entity_material_static[e]))
+        leaves.append((leaf_type[g], e, scene.entity_material_static[e],
+                       fast[g]))
     check_entities = tuple(sorted({
-        e for (_, e, m) in leaves
+        e for (_, e, m, _k) in leaves
         if scene.mat_types[m] == MAT_CHECKERBOARD
     }))
     return FusedSpec(
@@ -237,14 +260,40 @@ def tab_size(spec):
 
 
 def pack_tabvec(scene, spec):
-    """Differentiable flat f32[T] view of the scene tables the kernel reads."""
+    """Differentiable flat f32[T] view of the scene tables the kernel reads.
+
+    Fast-record leaves bake WORLD-space fields (sphere centre+radius, box
+    AABB) computed from inv(w2l) so cotangents still land on leaf_w2l —
+    the same parameterisation the streaming path differentiates."""
     L = len(spec.leaves)
-    parts = [
-        jnp.concatenate(
-            [scene.leaf_w2l[:L, :3, :].reshape(L, 12),
-             scene.leaf_params[:L]], axis=1
-        ).reshape(-1)
-    ]
+    leaf_rows = jnp.concatenate(
+        [scene.leaf_w2l[:L, :3, :].reshape(L, 12), scene.leaf_params[:L]],
+        axis=1)
+    if any(k for (_t, _e, _m, k) in spec.leaves):
+        rows = []
+        for g, (_tid, _e, _m, kind) in enumerate(spec.leaves):
+            if kind == 0:
+                rows.append(leaf_rows[g])
+                continue
+            p = scene.leaf_params[g]
+            if kind == 1:  # world sphere (pure translation: c = -w2l[:,3])
+                c = -scene.leaf_w2l[g, :3, 3]
+                row = jnp.concatenate(
+                    [c, p[0][None], jnp.zeros(16, jnp.float32)])
+            else:  # world AABB from the 8 transformed corners
+                l2w = jnp.linalg.inv(scene.leaf_w2l[g])
+                corners = jnp.stack([
+                    jnp.stack([p[3 * int(x)], p[1 + 3 * int(y)],
+                               p[2 + 3 * int(z)]])
+                    for x in (0, 1) for y in (0, 1) for z in (0, 1)
+                ])
+                wc = corners @ l2w[:3, :3].T + l2w[:3, 3]
+                row = jnp.concatenate(
+                    [wc.min(axis=0), wc.max(axis=0),
+                     jnp.zeros(14, jnp.float32)])
+            rows.append(row)
+        leaf_rows = jnp.stack(rows)
+    parts = [leaf_rows.reshape(-1)]
     M = len(spec.mat_types)
     parts.append(
         jnp.concatenate(
@@ -289,8 +338,10 @@ def _norm3(x, y, z):
 
 
 def _make_frame(nx, ny, nz):
-    """Duff et al. branchless ONB — mirrors core.math.batch.make_frame."""
-    s = jnp.where(nz >= 0.0, 1.0, -1.0)
+    """Duff et al. branchless ONB — mirrors core.math.batch.make_frame
+    (including its fp-noise-tolerant sign threshold, so exact-zero fast
+    records and transform-produced noisy zeros choose the same frame)."""
+    s = jnp.where(nz >= -1e-6, 1.0, -1.0)
     a = -1.0 / (s + nz)
     b = nx * ny * a
     t = (1.0 + s * nx * nx * a, s * b, -s * nx)
@@ -624,27 +675,49 @@ def _bounce_core(spec: FusedSpec, tget, state, u, bits):
     t_leaf = []
     ins_leaf = []
     nrm_leaf = []
-    for g, (tid, _e, _m) in enumerate(spec.leaves):
+    for g, (tid, _e, _m, kind) in enumerate(spec.leaves):
         off = _off_leaf(spec, g)
-        m12, lo, ld = _leaf_local(tget, off, o, d)
-        pp = [tget(off + 12 + k) for k in range(8)]
-        t_g, ins_g = _HIT[tid](lo, ld, pp, eps)
-        # sanitize miss lanes before the hit-point/normal math (BIG * d
-        # overflows to inf and would NaN-poison the vjp through the select)
-        t_s = jnp.where(t_g < 1e30, t_g, 0.0)
-        # local hit point as w2l·(world hit point) — the same float path as
-        # the streaming tracer (intersect.py point -> transform_point), so
-        # ill-conditioned face picks on degenerate thin boxes resolve the
-        # same way in both paths
-        pw = (o[0] + t_s * d[0], o[1] + t_s * d[1], o[2] + t_s * d[2])
-        ph = (m12[0] * pw[0] + m12[1] * pw[1] + m12[2] * pw[2] + m12[3],
-              m12[4] * pw[0] + m12[5] * pw[1] + m12[6] * pw[2] + m12[7],
-              m12[8] * pw[0] + m12[9] * pw[1] + m12[10] * pw[2] + m12[11])
-        nl = _NORMAL[tid](ph, pp)
-        # local -> world normal via (w2l)^T (inverse-transpose semantics)
-        nw = (m12[0] * nl[0] + m12[4] * nl[1] + m12[8] * nl[2],
-              m12[1] * nl[0] + m12[5] * nl[1] + m12[9] * nl[2],
-              m12[2] * nl[0] + m12[6] * nl[1] + m12[10] * nl[2])
+        if kind == 1:
+            # world sphere: 4 scalars, no transforms
+            c = (tget(off), tget(off + 1), tget(off + 2))
+            r = tget(off + 3)
+            p0 = (o[0] - c[0], o[1] - c[1], o[2] - c[2])
+            a = _dot3(d, d)
+            b = 2.0 * _dot3(p0, d)
+            cc = _dot3(p0, p0) - r * r
+            lo_t, hi_t, v = _quad(a, b, cc)
+            t_g = _first_after(eps, (lo_t, v), (hi_t, v))
+            ins_g = cc < 0.0
+            t_s = jnp.where(t_g < 1e30, t_g, 0.0)
+            nw = (p0[0] + t_s * d[0], p0[1] + t_s * d[1], p0[2] + t_s * d[2])
+        elif kind == 2:
+            # world AABB: 6 scalars, slab test + face pick in world space
+            pp = [tget(off + k) for k in range(6)]
+            t_g, ins_g = _hit_box(o, d, pp, eps)
+            t_s = jnp.where(t_g < 1e30, t_g, 0.0)
+            pw = (o[0] + t_s * d[0], o[1] + t_s * d[1], o[2] + t_s * d[2])
+            nw = _n_box(pw, pp)
+        else:
+            m12, lo, ld = _leaf_local(tget, off, o, d)
+            pp = [tget(off + 12 + k) for k in range(8)]
+            t_g, ins_g = _HIT[tid](lo, ld, pp, eps)
+            # sanitize miss lanes before the hit-point/normal math (BIG * d
+            # overflows to inf and would NaN-poison the vjp through the
+            # select)
+            t_s = jnp.where(t_g < 1e30, t_g, 0.0)
+            # local hit point as w2l·(world hit point) — the same float
+            # path as the streaming tracer (intersect.py point ->
+            # transform_point), so ill-conditioned face picks on degenerate
+            # thin boxes resolve the same way in both paths
+            pw = (o[0] + t_s * d[0], o[1] + t_s * d[1], o[2] + t_s * d[2])
+            ph = (m12[0] * pw[0] + m12[1] * pw[1] + m12[2] * pw[2] + m12[3],
+                  m12[4] * pw[0] + m12[5] * pw[1] + m12[6] * pw[2] + m12[7],
+                  m12[8] * pw[0] + m12[9] * pw[1] + m12[10] * pw[2] + m12[11])
+            nl = _NORMAL[tid](ph, pp)
+            # local -> world normal via (w2l)^T (inverse-transpose)
+            nw = (m12[0] * nl[0] + m12[4] * nl[1] + m12[8] * nl[2],
+                  m12[1] * nl[0] + m12[5] * nl[1] + m12[9] * nl[2],
+                  m12[2] * nl[0] + m12[6] * nl[1] + m12[10] * nl[2])
         t_leaf.append((t_g, t_s))
         ins_leaf.append(ins_g)
         nrm_leaf.append(nw)
@@ -707,15 +780,31 @@ def _bounce_core(spec: FusedSpec, tget, state, u, bits):
         thr_v = list(thr)
         for (_e, mat, kind, leaf) in spec.volumes:
             tid = spec.leaves[leaf][0]
+            fastk = spec.leaves[leaf][3]
             offl = _off_leaf(spec, leaf)
-            m12 = [tget(offl + k) for k in range(12)]
-            pl_ = (m12[0] * mid[0] + m12[1] * mid[1] + m12[2] * mid[2] + m12[3],
-                   m12[4] * mid[0] + m12[5] * mid[1] + m12[6] * mid[2] + m12[7],
-                   m12[8] * mid[0] + m12[9] * mid[1] + m12[10] * mid[2] + m12[11])
-            pp = [tget(offl + 12 + k) for k in range(8)]
+            if fastk == 1:  # world sphere containment
+                cx, cy, cz = tget(offl), tget(offl + 1), tget(offl + 2)
+                r = tget(offl + 3)
+                dx_ = mid[0] - cx
+                dy_ = mid[1] - cy
+                dz_ = mid[2] - cz
+                inside_v = dx_ * dx_ + dy_ * dy_ + dz_ * dz_ <= r * r
+            elif fastk == 2:  # world AABB containment
+                pp = [tget(offl + k) for k in range(6)]
+                inside_v = _contains(TYPE_BOX, mid, pp)
+            else:
+                m12 = [tget(offl + k) for k in range(12)]
+                pl_ = (m12[0] * mid[0] + m12[1] * mid[1]
+                       + m12[2] * mid[2] + m12[3],
+                       m12[4] * mid[0] + m12[5] * mid[1]
+                       + m12[6] * mid[2] + m12[7],
+                       m12[8] * mid[0] + m12[9] * mid[1]
+                       + m12[10] * mid[2] + m12[11])
+                pp = [tget(offl + 12 + k) for k in range(8)]
+                inside_v = _contains(tid, pl_, pp)
             # gate on alive too: the XLA path parks dead lanes (guaranteed
             # miss) — alive-gating reproduces that without the parking
-            m = _contains(tid, pl_, pp) & hit & alive
+            m = inside_v & hit & alive
             mo = _off_mat(spec, mat)
             if kind == VOL_BEER:
                 for b in range(B):
@@ -754,7 +843,7 @@ def _bounce_core(spec: FusedSpec, tget, state, u, bits):
     # branch masks per material TYPE over the static winner->material map;
     # spectral rows resolve per member material id inside the branch
     by_type = {}
-    for g, (_tid, _e, mid) in enumerate(spec.leaves):
+    for g, (_tid, _e, mid, _k) in enumerate(spec.leaves):
         by_type.setdefault(spec.mat_types[mid], {}).setdefault(mid, []).append(g)
 
     def type_mask(members):
@@ -778,7 +867,7 @@ def _bounce_core(spec: FusedSpec, tget, state, u, bits):
     use_mis = spec.importance_sampling and spec.has_importance
     needs_mis = use_mis and any(
         spec.mat_types[mid] in (MAT_LAMBERT, MAT_ROUGH_CONDUCTOR)
-        for (_t, _e, mid) in spec.leaves)
+        for (_t, _e, mid, _k) in spec.leaves)
     if needs_mis:
         I = spec.n_imp
         axes = []
@@ -844,7 +933,7 @@ def _bounce_core(spec: FusedSpec, tget, state, u, bits):
     tir_out = jnp.zeros_like(alive)
     check_parity = jnp.zeros_like(alive)
 
-    present = {spec.mat_types[mid] for (_t, _e, mid) in spec.leaves}
+    present = {spec.mat_types[mid] for (_t, _e, mid, _k) in spec.leaves}
 
     # --- emitters (terminal) -------------------------------------------------
     if MAT_EMITTER in present:
@@ -1114,7 +1203,7 @@ def _bounce_core(spec: FusedSpec, tget, state, u, bits):
 
 def _rows_for(n):
     r = -(-n // _LANES)
-    return -(-r // _SUB) * _SUB
+    return -(-r // TILE_ROWS) * TILE_ROWS
 
 
 def pack_multi(x):
@@ -1137,7 +1226,7 @@ def _vm(block):
 
 
 def _lane_spec():
-    return pl.BlockSpec((_SUB, _LANES), lambda i: (i, 0),
+    return pl.BlockSpec((TILE_ROWS, _LANES), lambda i: (i, 0),
                         memory_space=pltpu.VMEM)
 
 
@@ -1176,17 +1265,17 @@ def _fwd_kernel(spec, tab_ref, o_ref, d_ref, thr_ref, rad_ref, aux_ref, u_ref,
 def _bounce_fwd_call(spec, tabvec, st, u_t):
     B = spec.bins
     R = st["o"].shape[1]
-    grid = R // _SUB
+    grid = R // TILE_ROWS
     outs = pl.pallas_call(
         functools.partial(_fwd_kernel, spec),
         grid=(grid,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
-                  _vm((3, _SUB, _LANES)), _vm((3, _SUB, _LANES)),
-                  _vm((B, _SUB, _LANES)), _vm((B, _SUB, _LANES)),
-                  _vm((2, _SUB, _LANES)), _vm((10, _SUB, _LANES))],
-        out_specs=(_vm((3, _SUB, _LANES)), _vm((3, _SUB, _LANES)),
-                   _vm((B, _SUB, _LANES)), _vm((B, _SUB, _LANES)),
-                   _vm((2, _SUB, _LANES)), _lane_spec()),
+                  _vm((3, TILE_ROWS, _LANES)), _vm((3, TILE_ROWS, _LANES)),
+                  _vm((B, TILE_ROWS, _LANES)), _vm((B, TILE_ROWS, _LANES)),
+                  _vm((2, TILE_ROWS, _LANES)), _vm((10, TILE_ROWS, _LANES))],
+        out_specs=(_vm((3, TILE_ROWS, _LANES)), _vm((3, TILE_ROWS, _LANES)),
+                   _vm((B, TILE_ROWS, _LANES)), _vm((B, TILE_ROWS, _LANES)),
+                   _vm((2, TILE_ROWS, _LANES)), _lane_spec()),
         out_shape=(
             jax.ShapeDtypeStruct((3, R, _LANES), jnp.float32),
             jax.ShapeDtypeStruct((3, R, _LANES), jnp.float32),
@@ -1232,15 +1321,15 @@ def _bounce_replay_call(spec, tabvec, st, u_t, bits):
     R = st["o"].shape[1]
     o, d, thr, rad = pl.pallas_call(
         functools.partial(_replay_kernel, spec),
-        grid=(R // _SUB,),
+        grid=(R // TILE_ROWS,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
-                  _vm((3, _SUB, _LANES)), _vm((3, _SUB, _LANES)),
-                  _vm((B, _SUB, _LANES)), _vm((B, _SUB, _LANES)),
-                  _vm((2, _SUB, _LANES)), _vm((10, _SUB, _LANES)),
-                  pl.BlockSpec((_SUB, _LANES), lambda i: (i, 0),
+                  _vm((3, TILE_ROWS, _LANES)), _vm((3, TILE_ROWS, _LANES)),
+                  _vm((B, TILE_ROWS, _LANES)), _vm((B, TILE_ROWS, _LANES)),
+                  _vm((2, TILE_ROWS, _LANES)), _vm((10, TILE_ROWS, _LANES)),
+                  pl.BlockSpec((TILE_ROWS, _LANES), lambda i: (i, 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=(_vm((3, _SUB, _LANES)), _vm((3, _SUB, _LANES)),
-                   _vm((B, _SUB, _LANES)), _vm((B, _SUB, _LANES))),
+        out_specs=(_vm((3, TILE_ROWS, _LANES)), _vm((3, TILE_ROWS, _LANES)),
+                   _vm((B, TILE_ROWS, _LANES)), _vm((B, TILE_ROWS, _LANES))),
         out_shape=(
             jax.ShapeDtypeStruct((3, R, _LANES), jnp.float32),
             jax.ShapeDtypeStruct((3, R, _LANES), jnp.float32),
@@ -1275,14 +1364,14 @@ def _bounce_io_call(spec, tabvec, st, u_t):
     R = st["o"].shape[1]
     o, d, thr, rad, aux, _bits = pl.pallas_call(
         functools.partial(_io_kernel, spec),
-        grid=(R // _SUB,),
+        grid=(R // TILE_ROWS,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
-                  _vm((3, _SUB, _LANES)), _vm((3, _SUB, _LANES)),
-                  _vm((B, _SUB, _LANES)), _vm((B, _SUB, _LANES)),
-                  _vm((2, _SUB, _LANES)), _vm((10, _SUB, _LANES))],
-        out_specs=(_vm((3, _SUB, _LANES)), _vm((3, _SUB, _LANES)),
-                   _vm((B, _SUB, _LANES)), _vm((B, _SUB, _LANES)),
-                   _vm((2, _SUB, _LANES)), _lane_spec()),
+                  _vm((3, TILE_ROWS, _LANES)), _vm((3, TILE_ROWS, _LANES)),
+                  _vm((B, TILE_ROWS, _LANES)), _vm((B, TILE_ROWS, _LANES)),
+                  _vm((2, TILE_ROWS, _LANES)), _vm((10, TILE_ROWS, _LANES))],
+        out_specs=(_vm((3, TILE_ROWS, _LANES)), _vm((3, TILE_ROWS, _LANES)),
+                   _vm((B, TILE_ROWS, _LANES)), _vm((B, TILE_ROWS, _LANES)),
+                   _vm((2, TILE_ROWS, _LANES)), _lane_spec()),
         out_shape=(
             jax.ShapeDtypeStruct((3, R, _LANES), jnp.float32),
             jax.ShapeDtypeStruct((3, R, _LANES), jnp.float32),
@@ -1378,21 +1467,21 @@ def _bounce_bwd_call(spec, tabvec, o_k, d_k, thr_k, aux_k, u_k, bits_k,
     cotangent [tiles, U_pad, 128] (sum over tiles+lanes outside)."""
     B = spec.bins
     R = o_k.shape[1]
-    grid = R // _SUB
+    grid = R // TILE_ROWS
     used, u_rows = used_offsets(spec)
     return pl.pallas_call(
         functools.partial(_bwd_kernel, spec, used, u_rows),
         grid=(grid,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
-                  _vm((3, _SUB, _LANES)), _vm((3, _SUB, _LANES)),
-                  _vm((B, _SUB, _LANES)), _vm((2, _SUB, _LANES)),
-                  _vm((10, _SUB, _LANES)),
-                  pl.BlockSpec((_SUB, _LANES), lambda i: (i, 0),
+                  _vm((3, TILE_ROWS, _LANES)), _vm((3, TILE_ROWS, _LANES)),
+                  _vm((B, TILE_ROWS, _LANES)), _vm((2, TILE_ROWS, _LANES)),
+                  _vm((10, TILE_ROWS, _LANES)),
+                  pl.BlockSpec((TILE_ROWS, _LANES), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-                  _vm((3, _SUB, _LANES)), _vm((3, _SUB, _LANES)),
-                  _vm((B, _SUB, _LANES)), _vm((B, _SUB, _LANES))],
-        out_specs=(_vm((3, _SUB, _LANES)), _vm((3, _SUB, _LANES)),
-                   _vm((B, _SUB, _LANES)),
+                  _vm((3, TILE_ROWS, _LANES)), _vm((3, TILE_ROWS, _LANES)),
+                  _vm((B, TILE_ROWS, _LANES)), _vm((B, TILE_ROWS, _LANES))],
+        out_specs=(_vm((3, TILE_ROWS, _LANES)), _vm((3, TILE_ROWS, _LANES)),
+                   _vm((B, TILE_ROWS, _LANES)),
                    pl.BlockSpec((1, u_rows, _LANES), lambda i: (i, 0, 0),
                                 memory_space=pltpu.VMEM)),
         out_shape=(

@@ -957,9 +957,12 @@ def trace_rays_diff(scene: CompiledScene, cfg: RayConfig, state: RayState, key):
             (n, st.origin.shape[0], n_u), st.origin.dtype,
         )
         if fspec is not None:
-            from .pallas_fused import fused_span
+            from .pallas_fused import fused_span, general_spec
 
-            return fused_span(scene, fspec, st, u_all)
+            # fast leaf records are forward-only (their world-space
+            # expressions carry different w2l cotangents); differentiate
+            # the general representation
+            return fused_span(scene, general_spec(fspec), st, u_all)
         full = n // R
         if full:
             st, _ = jax.lax.scan(
