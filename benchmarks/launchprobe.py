@@ -314,19 +314,6 @@ def main5():
     print(json.dumps({"after_200_buffers": t4()}), flush=True)
 
 
-if __name__ == "__main__":
-    if "--bisect" in sys.argv:
-        main6()
-    elif "--poison" in sys.argv:
-        main5()
-    elif "--ablate" in sys.argv:
-        main4()
-    elif "--isolate" in sys.argv:
-        main3()
-    else:
-        main()
-
-
 def main6():
     """Bisect WHAT in the scene build poisons dispatch latency."""
     import jax
@@ -391,3 +378,53 @@ def main6():
     _os.environ.pop("SOURCE_TPU_LEAF_BVH", None)
     scene1 = compile_scene(world, SpectralConfig(375.0, 740.0, B))
     t3("after_compile_scene_bvh")
+
+
+def main7():
+    """Relay-latency discrimination: K pipelined (non-blocking) dispatches
+    with ONE final block vs per-call blocking. If the ~25 ms is host/relay
+    round-trip latency, the pipelined slope is the true device time."""
+    import jax
+    import jax.numpy as jnp
+    from benchmarks.flagship import BINS, build
+    from source_tpu.parallel.engine import render_batch, render_loss_and_grads
+
+    scene, cfg, o, d = build()
+    target = jnp.zeros((o.shape[0], BINS), jnp.float32)
+    step = jax.jit(lambda s, k: render_loss_and_grads(s, cfg, o, d, k, target))
+    fwd = jax.jit(lambda s, k: render_batch(s, cfg, o, d, k).radiance)
+
+    for name, fn in [("fwd", fwd), ("step", step)]:
+        out = fn(scene, jax.random.PRNGKey(0))
+        jax.block_until_ready(out)
+        # per-call blocking
+        ts = []
+        for i in range(4):
+            t0 = time.perf_counter()
+            jax.block_until_ready(fn(scene, jax.random.PRNGKey(i)))
+            ts.append(round(1e3 * (time.perf_counter() - t0), 1))
+        # pipelined: K dispatches, one block
+        for K in (4, 10):
+            t0 = time.perf_counter()
+            outs = [fn(scene, jax.random.PRNGKey(100 + i)) for i in range(K)]
+            jax.block_until_ready(outs)
+            tp = 1e3 * (time.perf_counter() - t0)
+            print(json.dumps({f"{name}_blocked_ms": ts,
+                              f"{name}_pipelined_K{K}_total_ms": round(tp, 1),
+                              f"{name}_pipelined_per_step_ms": round(tp / K, 1)}),
+                  flush=True)
+
+
+if __name__ == "__main__":
+    if "--pipeline" in sys.argv:
+        main7()
+    elif "--bisect" in sys.argv:
+        main6()
+    elif "--poison" in sys.argv:
+        main5()
+    elif "--ablate" in sys.argv:
+        main4()
+    elif "--isolate" in sys.argv:
+        main3()
+    else:
+        main()
