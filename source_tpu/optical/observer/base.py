@@ -454,6 +454,9 @@ class ObserverBase(_SceneObserver):
         if spp % spt:
             sample_chunks.append(spp % spt)
 
+        deferred_tiles = []
+        deferred_segs = []
+        deferred_ovfs = []
         for tile_idx in range(n_tiles):
             chunk = tasks[tile_idx * T:(tile_idx + 1) * T]
             # pad to the next power of two (min 8, for device divisibility),
@@ -487,8 +490,8 @@ class ObserverBase(_SceneObserver):
             # stay device scalars so XLA queues every chunk kernel without a
             # host sync in between.
             acc_sum = acc_sq = None
-            seg_acc = []
-            ovf_acc = []
+            seg_acc = deferred_segs
+            ovf_acc = deferred_ovfs
             proc_spectra = [[] for _ in slices]  # host per-slice sample spectra
             for c_idx, s_chunk in enumerate(sample_chunks):
                 proj_sums = None
@@ -520,8 +523,6 @@ class ObserverBase(_SceneObserver):
                     s1, s2 = _reduce_samples(proj)  # device [T, C] pair
                     acc_sum[i] = acc_sum[i] + s1
                     acc_sq[i] = acc_sq[i] + s2
-            self._stats_rays += int(sum(int(s) for s in seg_acc))
-            self._stats_overflow += int(sum(int(v) for v in ovf_acc))
 
             # reference-API custom pipelines: drive PixelProcessor per pixel
             # per slice with the full sample set (base/observer.pyx:363-419).
@@ -546,17 +547,48 @@ class ObserverBase(_SceneObserver):
                             )
                             pipe.update(int(flat_ids[t]), proc.pack_results(), s_idx)
 
-            # fold per-pixel statistics into the pipelines
-            for pipe, v_sum, v_sq in zip(self._dev_pipes, acc_sum, acc_sq):
-                v_sum = np.asarray(v_sum, dtype=np.float64)
-                v_sq = np.asarray(v_sq, dtype=np.float64)
-                mean = v_sum / spp
-                m2 = v_sq - spp * mean * mean
-                np.maximum(m2, 0.0, out=m2)  # guard f.p. cancellation
-                n = np.full(mean.shape[:1], spp, dtype=np.int64)
-                pipe.update(flat_ids[valid], mean[valid], m2[valid], n[valid])
+            # DEFER the per-pixel statistics pull: every device->host read
+            # through the axon relay costs a ~25 ms round trip
+            # (benchmarks/launchprobe.py --poison/--pipeline), so per-tile
+            # np.asarray/int() syncs would dominate end-to-end throughput.
+            # All tiles' device sums are pulled in ONE batched device_get
+            # after the loop.
+            deferred_tiles.append((flat_ids, valid, list(acc_sum),
+                                   list(acc_sq)))
 
-            self._update_statistics(tile_idx, n_tiles)
+        if deferred_tiles:
+            cat_sum = [
+                jnp.concatenate([t[2][i] for t in deferred_tiles])
+                for i in range(len(self._dev_pipes))
+            ]
+            cat_sq = [
+                jnp.concatenate([t[3][i] for t in deferred_tiles])
+                for i in range(len(self._dev_pipes))
+            ]
+            seg_all = jnp.stack(deferred_segs) if deferred_segs else jnp.zeros(1, jnp.int32)
+            ovf_all = jnp.stack(deferred_ovfs) if deferred_ovfs else jnp.zeros(1, jnp.int32)
+            host_sum, host_sq, host_seg, host_ovf = jax.device_get(
+                (cat_sum, cat_sq, seg_all, ovf_all))
+            self._stats_rays += int(np.sum(host_seg))
+            self._stats_overflow += int(np.sum(host_ovf))
+            off = 0
+            for tile_idx, (flat_ids, valid, sums, _sqs) in enumerate(
+                    deferred_tiles):
+                t_eff = valid.shape[0]
+                for pipe, v_sum, v_sq in zip(
+                        self._dev_pipes,
+                        (h[off:off + t_eff] for h in host_sum),
+                        (h[off:off + t_eff] for h in host_sq)):
+                    v_sum = np.asarray(v_sum, dtype=np.float64)
+                    v_sq = np.asarray(v_sq, dtype=np.float64)
+                    mean = v_sum / spp
+                    m2 = v_sq - spp * mean * mean
+                    np.maximum(m2, 0.0, out=m2)  # guard f.p. cancellation
+                    n = np.full(mean.shape[:1], spp, dtype=np.int64)
+                    pipe.update(flat_ids[valid], mean[valid], m2[valid],
+                                n[valid])
+                off += t_eff
+                self._update_statistics(tile_idx, n_tiles)
 
         self._finalise_pipelines()
         self._finalise_statistics()
