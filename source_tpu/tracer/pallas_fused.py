@@ -75,11 +75,12 @@ __all__ = ["FusedSpec", "fused_spec", "pack_tabvec", "fused_span",
 
 _LANES = 128
 _SUB = 8
-# ray rows per kernel tile: the per-grid-step overhead (~12 us/step
-# measured on v5e, benchmarks/iovariants.py) dwarfs the compute at 8-row
-# tiles; the fused kernel is pure SIMD (no packet traversal -> no
-# divergence penalty), so bigger tiles just cut grid steps
-TILE_ROWS = 32
+# ray rows per kernel tile: the fused kernel is pure SIMD (no packet
+# traversal -> no divergence penalty), so bigger tiles just cut grid
+# steps at the cost of VMEM (env-overridable for A/B tuning)
+import os as _os
+
+TILE_ROWS = int(_os.environ.get("SOURCE_TPU_FUSED_TILE", "32"))
 _TILE = _SUB * _LANES
 _BIG = 3e38
 _PI = 3.14159265358979323846
