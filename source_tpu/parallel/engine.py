@@ -11,6 +11,14 @@ replicated-in/replicated-out sharding contract), overlapping with the
 backward pass.
 """
 
+#
+# NOTE (multi-chip + Pallas): the Pallas kernels (leaf BVH, fused bounce,
+# mesh packet) operate on each shard's local batch. Under automatic jit
+# sharding on a MULTI-chip mesh, wrap the trace in shard_map (or shard at
+# the host level as DistributedEngine does per process) so each device
+# runs the kernel on its own shard; the virtual CPU mesh used in tests
+# never engages the kernels (they are TPU-gated).
+
 from __future__ import annotations
 
 import jax
