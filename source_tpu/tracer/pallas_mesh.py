@@ -369,8 +369,10 @@ def mesh_intersect_pallas_fwd_impl(mesh, origin, direction, t_min):
 
 # ray rows per tile in the paged kernel: a big tile amortises the page
 # tables' HBM re-streaming (each (tile, page) grid cell DMAs that page's
-# tables once), at some packet-divergence cost
-_PAGE_TILE_ROWS = 64  # 8192 rays
+# tables once), at some packet-divergence cost (env-overridable for A/B)
+import os as _os
+
+_PAGE_TILE_ROWS = int(_os.environ.get("SOURCE_TPU_PAGE_TILE", "64"))
 
 
 def _paged_kernel(max_leaf,
