@@ -372,7 +372,7 @@ def mesh_intersect_pallas_fwd_impl(mesh, origin, direction, t_min):
 # tables once), at some packet-divergence cost (env-overridable for A/B)
 import os as _os
 
-_PAGE_TILE_ROWS = int(_os.environ.get("SOURCE_TPU_PAGE_TILE", "64"))
+_PAGE_TILE_ROWS = int(_os.environ.get("SOURCE_TPU_PAGE_TILE", "32"))  # v5e A/B: 16->688ms, 32->637ms, 64->672ms, 128->939ms on the 1.3M-tri bigmesh
 
 
 def _paged_kernel(max_leaf,
