@@ -21,26 +21,43 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-REPEATS = 5
+REPEATS = 9
+STALL_RETRY_BUDGET = 6
 
 
 def _observe_timed(camera):
-    """Median-of-REPEATS rays/s + spread (VERDICT r3 #3: the axon relay
-    shows 10-20% run-to-run variance; single-pass numbers are not
-    comparable across rounds)."""
+    """Stall-robust rays/s statistic (VERDICT r4 next #4).
+
+    The axon relay injects tens-of-ms hiccups and occasional multi-x
+    stalls (benchmarks/launchprobe.json), which at round-4 speeds swamp a
+    ~170 ms pass (observed spreads up to 103%). Protocol: >=REPEATS
+    passes; a pass below HALF the best rate so far is a relay stall and is
+    re-run (bounded by STALL_RETRY_BUDGET, stall count reported); the
+    kept rates are 25%-trimmed at both ends and the median + spread OF THE
+    TRIMMED SET are reported. Reference statistic being mimicked:
+    optical/observer/base/observer.pyx:500-511."""
     camera.quiet = True
     camera.observe(seed=1)  # compile + warm pass
     rates = []
-    for rep in range(REPEATS):
+    stalls = 0
+    seed = 2
+    while len(rates) < REPEATS and stalls <= STALL_RETRY_BUDGET:
         for p in camera.pipelines:
             if hasattr(p, "accumulate"):
                 p.accumulate = False  # reset stats so each timed pass is clean
-        camera.observe(seed=2 + rep)
-        rates.append(camera.rays_per_second)
+        camera.observe(seed=seed)
+        seed += 1
+        r = camera.rays_per_second
+        if rates and r < 0.5 * max(rates):
+            stalls += 1  # relay stall: excluded, counted, re-run
+            continue
+        rates.append(r)
     rates.sort()
-    median = rates[len(rates) // 2]
-    spread = (rates[-1] - rates[0]) / median
-    return median, spread
+    k = len(rates) // 4
+    trimmed = rates[k: len(rates) - k] if len(rates) > 2 * k else rates
+    median = trimmed[len(trimmed) // 2]
+    spread = (trimmed[-1] - trimmed[0]) / median
+    return median, spread, stalls
 
 
 def bench_cornell():
@@ -152,15 +169,18 @@ def main():
     results = {}
     for name in wanted:
         t0 = time.time()
-        rays_s, spread = SCENES[name]()
+        rays_s, spread, stalls = SCENES[name]()
         results[name] = {
             "rays_per_s_median": round(rays_s, 1),
-            "spread_pct": round(100.0 * spread, 1),
+            "trimmed_spread_pct": round(100.0 * spread, 1),
             "repeats": REPEATS,
+            "stalls_excluded": stalls,
         }
         print(json.dumps({
             "metric": f"{name}_fwd", "value": round(rays_s, 1),
-            "unit": "rays/s/chip", "spread_pct": round(100.0 * spread, 1),
+            "unit": "rays/s/chip",
+            "trimmed_spread_pct": round(100.0 * spread, 1),
+            "stalls_excluded": stalls,
             "wall_s": round(time.time() - t0, 1),
         }), flush=True)
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)), "results.json")

@@ -108,11 +108,14 @@ class CompiledScene:
     # packet-traversed by a Pallas kernel so per-ray cost is logarithmic in
     # leaf count instead of linear.
     # NOTE: these planes BAKE the leaf AABBs/transforms/params at compile
-    # time. Replacing ``leaf_params``/``leaf_w2l`` on a CompiledScene (fine
-    # for gradient COTANGENTS — the kernel's custom_vjp is zero-cotangent)
-    # leaves the kernel intersecting stale geometry if a FORWARD render is
-    # then run with the perturbed tables: re-run ``compile_scene`` after any
-    # material geometry change (ADVICE r3).
+    # time — and so do the csg table (child w2l + params baked per row),
+    # ``leaf_fast_static`` and ``entity_material_static``. Replacing
+    # ``leaf_params``/``leaf_w2l``/``entity_material`` on a CompiledScene
+    # (fine for gradient COTANGENTS — the kernel's custom_vjp is
+    # zero-cotangent) leaves the kernels intersecting stale geometry /
+    # dispatching stale materials if a FORWARD render is then run with the
+    # perturbed tables: re-run ``compile_scene`` after any geometry or
+    # material-assignment change (ADVICE r3+r4).
     leaf_bvh: Any = None
 
     # --- static structure (aux data) ---
@@ -280,14 +283,15 @@ def compile_scene(world: World, spectral: SpectralConfig, dtype=jnp.float32) -> 
             csg_entities.append((e, leaf_ids, local_prog))
 
     # --- analytic leaf BVH (reference: core/acceleration/kdtree.pyx) ---------------
-    # Simple (non-CSG) leaves of the kernel-supported types go into a
-    # world-space SAH BVH that the wavefront tracer packet-traverses in one
-    # Pallas kernel (tracer/pallas_analytic.py); CSG children (need ALL
-    # crossings) and torus leaves (quartic) stay on the streaming path.
+    # Simple (non-CSG) leaves of the kernel-supported types — torus
+    # included (Newton-polished quartic leaf, VERDICT r4 next #5) — go into
+    # a world-space SAH BVH that the wavefront tracer packet-traverses in
+    # one Pallas kernel (tracer/pallas_analytic.py); CSG children (need ALL
+    # crossings as one convex interval) stay restricted to CSG_CHILD_TYPES.
     import os as _os
 
     from ..tracer.pallas_analytic import (
-        BVH_TYPES, MAX_CSG_CHILD, pack_leaf_bvh_host,
+        BVH_TYPES, CSG_CHILD_TYPES, MAX_CSG_CHILD, pack_leaf_bvh_host,
     )
 
     _force = _os.environ.get("SOURCE_TPU_LEAF_BVH", "")
@@ -311,7 +315,8 @@ def compile_scene(world: World, spectral: SpectralConfig, dtype=jnp.float32) -> 
     kernel_csg = []
     for e, leaf_ids_t, program in csg_entities:
         if (len(leaf_ids_t) <= MAX_CSG_CHILD
-                and all(leaf_records[g][0] in BVH_TYPES for g in leaf_ids_t)):
+                and all(leaf_records[g][0] in CSG_CHILD_TYPES
+                        for g in leaf_ids_t)):
             children = [
                 (g, leaf_records[g][0], l2w[g], w2l[g], params[g])
                 for g in leaf_ids_t
@@ -344,8 +349,6 @@ def compile_scene(world: World, spectral: SpectralConfig, dtype=jnp.float32) -> 
     for i, r in enumerate(leaf_records):
         kind = 0
         R3 = l2w[i][:3, :3]
-        G = R3.T @ R3
-        s2 = G[0, 0]
         # stricter than the packet kernel's rigid-sphere criterion: the
         # fused kernel demands EXACT fp parity with the streaming path, so
         # only pure TRANSLATIONS — where the local-frame test (o-c exact,

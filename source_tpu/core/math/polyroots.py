@@ -16,7 +16,8 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-__all__ = ["solve_quadratic", "solve_cubic", "solve_quartic"]
+__all__ = ["solve_quadratic", "solve_cubic", "solve_quartic",
+           "solve_quartic_components"]
 
 _INF = jnp.inf
 
@@ -38,13 +39,12 @@ def _cbrt(x, eps=1e-24):
     return jnp.sign(x) * r
 
 
-def solve_quadratic(a, b, c, eps=1e-30):
-    """Real roots of a x^2 + b x + c = 0.
-
-    Returns (roots[..., 2], valid[..., 2]) with roots sorted ascending where
-    valid; invalid lanes hold +inf. Uses the numerically-stable citardauq
-    formulation to avoid cancellation.
-    """
+def _quad_components(a, b, c, eps=1e-30):
+    """solve_quadratic without the stacked [..., 2] axis: returns
+    ((lo, v_lo), (hi, v_hi)). The component form is what the Pallas
+    kernels consume (a stacked minor axis would move lanes off the vector
+    lane dimension); ``solve_quadratic`` stacks these same values, so the
+    streaming and kernel paths share one fp route."""
     d = b * b - 4.0 * a * c
     has_roots = d >= 0.0
     sq = _safe_sqrt(jnp.where(has_roots, d, 0.0))
@@ -58,6 +58,17 @@ def solve_quadratic(a, b, c, eps=1e-30):
     r1_eff = jnp.where(v1, r1, r0)
     lo = jnp.minimum(r0, r1_eff)
     hi = jnp.maximum(r0, r1_eff)
+    return (lo, v0), (hi, v1)
+
+
+def solve_quadratic(a, b, c, eps=1e-30):
+    """Real roots of a x^2 + b x + c = 0.
+
+    Returns (roots[..., 2], valid[..., 2]) with roots sorted ascending where
+    valid; invalid lanes hold +inf. Uses the numerically-stable citardauq
+    formulation to avoid cancellation.
+    """
+    (lo, v0), (hi, v1) = _quad_components(a, b, c, eps)
     roots = jnp.stack([jnp.where(v0, lo, _INF), jnp.where(v1, hi, _INF)], axis=-1)
     valid = jnp.stack([v0, v1], axis=-1)
     return roots, valid
@@ -114,14 +125,32 @@ def solve_cubic(a, b, c, d):
     return roots, jnp.isfinite(roots)
 
 
-def solve_quartic(a, b, c, d, e, newton_iters=2):
-    """Real roots of a x^4 + b x^3 + c x^2 + d x + e = 0 (a != 0 assumed).
+def _cubic_largest(b, c, d):
+    """Largest real root of the monic cubic x^3 + b x^2 + c x + d —
+    fp-identical to the max valid root of ``solve_cubic(1, b, c, d)`` (the
+    Cardano single root for disc > 0; the k=0 Viete root — the largest of
+    the three — otherwise) without the stacked axis."""
+    A = c - b * b / 3.0
+    B = (2.0 * b * b * b - 9.0 * b * c + 27.0 * d) / 27.0
+    disc = (B * B) / 4.0 + (A * A * A) / 27.0
+    shift = -b / 3.0
+    one = disc > 0.0
+    sq = _safe_sqrt(jnp.where(one, disc, 0.0))
+    single = _cbrt(-B / 2.0 + sq) + _cbrt(-B / 2.0 - sq) + shift
+    Am = jnp.minimum(A, -1e-24)
+    m = 2.0 * _safe_sqrt(-Am / 3.0)
+    arg = jnp.clip(_safe_div(3.0 * B, Am * m), -0.999999, 0.999999)
+    theta = jnp.arccos(arg) / 3.0
+    return jnp.where(one, single, m * jnp.cos(theta) + shift)
 
-    Ferrari resolvent-cubic method, fully batched; optional Newton polishing
-    for f32 robustness (the torus intersection is sensitive —
-    primitive/torus.pyx quartic path). Returns (roots[..., 4], valid[..., 4])
-    sorted ascending with invalid lanes +inf.
-    """
+
+def solve_quartic_components(a, b, c, d, e, newton_iters=2):
+    """``solve_quartic`` without the stacked [..., 4] axis: four
+    Newton-polished (root, valid) pairs, unsorted. The Pallas analytic
+    kernels consume this form directly (a stacked minor axis would move
+    ray lanes off the vector lane dimension); ``solve_quartic`` stacks
+    these same values, so the streaming and kernel torus paths are
+    bit-identical (primitive/torus.pyx quartic semantics)."""
     inv_a = 1.0 / a
     b_, c_, d_, e_ = b * inv_a, c * inv_a, d * inv_a, e * inv_a
     # depressed quartic y^4 + p y^2 + q y + r, x = y - b/4
@@ -136,8 +165,7 @@ def solve_quartic(a, b, c, d, e, newton_iters=2):
     shift = -b_ / 4.0
 
     # resolvent cubic: z^3 - p z^2 - 4 r z + (4 p r - q^2) = 0; largest real z
-    zr, zv = solve_cubic(jnp.ones_like(p), -p, -4.0 * r, 4.0 * p * r - q * q)
-    z = jnp.max(jnp.where(zv, zr, -_INF), axis=-1)
+    z = _cubic_largest(-p, -4.0 * r, 4.0 * p * r - q * q)
 
     # factor into two quadratics y^2 -/+ s y + (z/2 -/+ q/(2s))
     s = _safe_sqrt(z - p)
@@ -149,24 +177,37 @@ def solve_quartic(a, b, c, d, e, newton_iters=2):
     t0 = jnp.where(deg, (z + dd) / 2.0, t0)
     t1 = jnp.where(deg, (z - dd) / 2.0, t1)
 
-    r01, v01 = solve_quadratic(jnp.ones_like(s), -s, t0)
-    r23, v23 = solve_quadratic(jnp.ones_like(s), s, t1)
-    roots = jnp.concatenate([r01, r23], axis=-1) + shift[..., None]
-    valid = jnp.concatenate([v01, v23], axis=-1)
-    # sanitize before polishing: masked lanes polish a dummy zero root
-    roots = jnp.where(valid, roots, 0.0)
+    ones = jnp.ones_like(s)
+    (lo0, v00), (hi0, v01) = _quad_components(ones, -s, t0)
+    (lo1, v10), (hi1, v11) = _quad_components(ones, s, t1)
 
     def poly(x):
-        return (((a[..., None] * x + b[..., None]) * x + c[..., None]) * x + d[..., None]) * x + e[..., None]
+        return (((a * x + b) * x + c) * x + d) * x + e
 
     def dpoly(x):
-        return ((4.0 * a[..., None] * x + 3.0 * b[..., None]) * x + 2.0 * c[..., None]) * x + d[..., None]
+        return ((4.0 * a * x + 3.0 * b) * x + 2.0 * c) * x + d
 
-    for _ in range(newton_iters):
-        f = poly(roots)
-        df = dpoly(roots)
-        step = _safe_div(f, df)
-        roots = jnp.where(valid, roots - step, roots)
+    def finish(x, v):
+        # sanitize before polishing: masked lanes polish a dummy zero root
+        x = jnp.where(v, x + shift, 0.0)
+        for _ in range(newton_iters):
+            x = jnp.where(v, x - _safe_div(poly(x), dpoly(x)), x)
+        return x, v
 
-    roots = jnp.sort(jnp.where(valid, roots, _INF), axis=-1)
+    return (finish(lo0, v00), finish(hi0, v01),
+            finish(lo1, v10), finish(hi1, v11))
+
+
+def solve_quartic(a, b, c, d, e, newton_iters=2):
+    """Real roots of a x^4 + b x^3 + c x^2 + d x + e = 0 (a != 0 assumed).
+
+    Ferrari resolvent-cubic method, fully batched; optional Newton polishing
+    for f32 robustness (the torus intersection is sensitive —
+    primitive/torus.pyx quartic path). Returns (roots[..., 4], valid[..., 4])
+    sorted ascending with invalid lanes +inf. Thin stacked view of
+    ``solve_quartic_components`` (one shared fp route with the kernels).
+    """
+    pairs = solve_quartic_components(a, b, c, d, e, newton_iters)
+    roots = jnp.stack([jnp.where(v, x, _INF) for x, v in pairs], axis=-1)
+    roots = jnp.sort(roots, axis=-1)
     return roots, jnp.isfinite(roots)

