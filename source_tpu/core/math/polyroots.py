@@ -151,6 +151,12 @@ def solve_quartic_components(a, b, c, d, e, newton_iters=2):
     ray lanes off the vector lane dimension); ``solve_quartic`` stacks
     these same values, so the streaming and kernel torus paths are
     bit-identical (primitive/torus.pyx quartic semantics)."""
+    # degenerate-lane guard: dead/masked rays reach here with a == 0
+    # (|d|^4 for the torus quartic); 1/0 = inf would poison reverse-mode
+    # through the masked lanes (NaN = 0 * inf), so sanitize a and mark
+    # every root invalid instead
+    a_ok = jnp.abs(a) > 1e-30
+    a = jnp.where(a_ok, a, 1.0)
     inv_a = 1.0 / a
     b_, c_, d_, e_ = b * inv_a, c * inv_a, d * inv_a, e * inv_a
     # depressed quartic y^4 + p y^2 + q y + r, x = y - b/4
@@ -188,6 +194,7 @@ def solve_quartic_components(a, b, c, d, e, newton_iters=2):
         return ((4.0 * a * x + 3.0 * b) * x + 2.0 * c) * x + d
 
     def finish(x, v):
+        v = v & a_ok
         # sanitize before polishing: masked lanes polish a dummy zero root
         x = jnp.where(v, x + shift, 0.0)
         for _ in range(newton_iters):

@@ -1712,13 +1712,15 @@ def _span_fwd_kernel(spec, n_steps, tab_ref, o_ref, d_ref, thr_ref, rad_ref,
     aux_out[1] = depth
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1))
-def _span_fwd_call(spec, n_steps, tabvec, st, u_flat):
+@functools.partial(jax.jit, static_argnums=(0, 1, 2))
+def _span_fwd_call(spec, n_steps, tile, tabvec, st, u_flat):
     """One kernel for the whole span. u_flat: (n_steps*10, R, 128).
-    Returns (final packed state, bits (n_steps, R, 128) i32)."""
+    Returns (final packed state, bits (n_steps, R, 128) i32). ``tile`` is
+    static (read from the env by the caller OUTSIDE jit, so A/B harnesses
+    can flip it between traces — ADVICE r4)."""
     B = spec.bins
     R = st["o"].shape[1]
-    T = min(_span_tile(), R)
+    T = min(tile, R)
     assert R % T == 0, (R, T)
 
     def vs(c):
@@ -1834,22 +1836,22 @@ def _span_bwd_kernel(spec, used, u_rows, n_steps, tab_ref, o_ref, d_ref,
         gd_out[c] = gd[c]
     for b in range(B):
         gthr_out[b] = gthr[b]
-    rows = list(gt) + [jnp.zeros((1, _LANES), jnp.float32)] * (
-        u_rows - len(used))
-    gt_out[...] = jnp.concatenate(rows, axis=0)[None]
+    # per-row stores (static offsets) rather than one u_rows-way concat —
+    # gentler on the Mosaic vector allocator
+    for idx in range(len(used)):
+        gt_out[0, pl.ds(idx, 1)] = gt[idx]
+    for idx in range(len(used), u_rows):
+        gt_out[0, pl.ds(idx, 1)] = jnp.zeros((1, _LANES), jnp.float32)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1))
-def _span_bwd_call(spec, n_steps, tabvec, st0, u_flat, bits, go, gd, gthr,
-                   g_rad):
+@functools.partial(jax.jit, static_argnums=(0, 1, 2))
+def _span_bwd_call(spec, n_steps, tile, tabvec, st0, u_flat, bits, go, gd,
+                   gthr, g_rad):
     """Whole-span backward: returns (go, gd, gthr, gt) with gt the per-tile
     table cotangent partials [tiles, U_pad, 128] (summed outside)."""
     B = spec.bins
     R = st0["o"].shape[1]
-    # the bwd tile must NEST inside the forward span tile: a bwd tile that
-    # straddled a skipped (bits=0, all-dead) fwd tile and a live one would
-    # vjp the dead lanes' bits=0 state (see _span_bwd_kernel skip note)
-    T = min(_span_bwd_tile(), _span_tile(), R)
+    T = min(tile, R)
     assert R % T == 0, (R, T)
     used, u_rows = used_offsets(spec)
 
@@ -1886,8 +1888,9 @@ def _flat_u(u_all):
 
 
 def _span_multi_fwd_impl(meta, tabvec, st, u_all):
-    spec, n_steps = meta
-    out, bits = _span_fwd_call(spec, n_steps, tabvec, st, _flat_u(u_all))
+    spec, n_steps, t_fwd, _t_bwd = meta
+    out, bits = _span_fwd_call(spec, n_steps, t_fwd, tabvec, st,
+                               _flat_u(u_all))
     seg = jnp.sum(bits & 1, dtype=jnp.int32)
     return (out, seg), (tabvec, u_all, st, bits)
 
@@ -1903,12 +1906,15 @@ def _span_multi_fwd(meta, tabvec, st, u_all):
 
 
 def _span_multi_bwd(meta, res, g):
-    spec, n_steps = meta
+    spec, n_steps, t_fwd, t_bwd = meta
     tabvec, u_all, st0, bits = res
     g_st, _g_seg = g
     used, _u_rows = used_offsets(spec)
+    # the bwd tile must NEST inside the forward span tile: a bwd tile that
+    # straddled a skipped (bits=0, all-dead) fwd tile and a live one would
+    # vjp the dead lanes' bits=0 state (see _span_bwd_kernel skip note)
     go, gd, gthr, gt = _span_bwd_call(
-        spec, n_steps, tabvec, st0, _flat_u(u_all), bits,
+        spec, n_steps, min(t_bwd, t_fwd), tabvec, st0, _flat_u(u_all), bits,
         g_st["o"], g_st["d"], g_st["thr"], g_st["rad"])
     cot_tab = jnp.zeros_like(tabvec).at[
         jnp.asarray(used, jnp.int32)].add(
@@ -1971,9 +1977,12 @@ def fused_span(scene, spec, state, u_all):
     """Differentiable fused trace of len(u_all) bounces. Returns RayState."""
     tabvec = pack_tabvec(scene, spec)
     packed, n = _pack_state(state)
-    span = _span_multi if span_mode() == "multi" else _span
-    out, seg = span((spec, int(u_all.shape[0])), tabvec, packed,
-                    _pack_u(u_all))
+    if span_mode() == "multi":
+        meta = (spec, int(u_all.shape[0]), _span_tile(), _span_bwd_tile())
+        out, seg = _span_multi(meta, tabvec, packed, _pack_u(u_all))
+    else:
+        out, seg = _span((spec, int(u_all.shape[0])), tabvec, packed,
+                         _pack_u(u_all))
     return _unpack_state(out, n, state, seg)
 
 
@@ -1986,8 +1995,8 @@ def fused_forward_span(scene, spec, state, u_all, early_exit=True):
 
     if span_mode() == "multi":
         # whole-span kernel; early exit happens per tile inside the kernel
-        out, bits = _span_fwd_call(spec, n_steps, tabvec, packed,
-                                   _flat_u(u_p))
+        out, bits = _span_fwd_call(spec, n_steps, _span_tile(), tabvec,
+                                   packed, _flat_u(u_p))
         seg = jnp.sum(bits & 1, dtype=jnp.int32)
         return _unpack_state(out, n, state, seg)
 
