@@ -19,13 +19,16 @@ differentiable pipeline (forward wavefront trace + reverse-mode gradients
 w.r.t. every scene parameter), which matches the reference's ray accounting
 (daughter rays counted individually).
 
-Repeats protocol (VERDICT r3 #3): GROUPS x STEPS_PER_GROUP pipelined
-steps — each group dispatches all its steps and blocks ONCE (matching the
-r1-r3 protocol and real training loops; benchmarks/launchprobe.py
---pipeline measured ~25-30 ms of pure axon-relay ROUND-TRIP latency per
-host sync, which per-step blocking would add to every step). The JSON
-reports the median group (per-step), the spread across groups, and the
-single-step blocked latency separately.
+Repeats protocol (round 5): GROUPS calls, each ONE jitted program running
+STEPS_PER_GROUP full training steps chained through a lax.scan (per-step
+grads folded into the carry so nothing dead-codes). Round-5 measurement
+(benchmarks/glue_probe2/3.json): this container's axon relay charges a
+~6-21 ms FIXED host dispatch cost per jitted call — even pipelined — on
+top of the true device time (16.4 ms device for the old full step vs
+37.6 ms walled), so a per-call-per-step protocol measures the relay, not
+the chip. Scanning steps inside one program is the standard JAX training
+loop shape and reports device throughput; the single-call blocked latency
+(dispatch + sync included) is still reported separately.
 """
 
 import json
@@ -38,7 +41,7 @@ sys.path.insert(0, "/root/repo")
 REFERENCE_CPU_RAYS_PER_S = 2.0e5  # documented estimate, see module docstring
 
 GROUPS = 4
-STEPS_PER_GROUP = 5
+STEPS_PER_GROUP = 10
 
 
 def main():
@@ -58,6 +61,26 @@ def main():
         lambda s, key: render_loss_and_grads(s, cfg, o, d, key, target)
     )
 
+    def multi_step(s, key):
+        """STEPS_PER_GROUP chained training steps in ONE program: every
+        step's scene-parameter grads fold into the carry (consumed, so the
+        backward can't dead-code away) — the shape of a real jitted
+        training loop."""
+
+        def body(carry, k):
+            loss, grads = render_loss_and_grads(s, cfg, o, d, k, target)
+            gsum = sum(
+                jnp.sum(jnp.abs(l)) for l in jax.tree_util.tree_leaves(grads)
+                if hasattr(l, "dtype") and l.dtype.kind == "f"
+            )
+            return carry + loss + gsum * 1e-20, None
+
+        keys = jax.random.split(key, STEPS_PER_GROUP)
+        tot, _ = jax.lax.scan(body, jnp.float32(0), keys)
+        return tot
+
+    multi_step = jax.jit(multi_step)
+
     # segment count for the rays/s denominator (forward pass, same estimator)
     key = jax.random.PRNGKey(0)
     final = fwd(scene, key)
@@ -66,17 +89,18 @@ def main():
     # warmup/compile
     loss, grads = step(scene, key)
     jax.block_until_ready((loss, grads))
-    # single blocked step: includes one full host<->device round trip
+    # single blocked step: includes one full host<->device round trip and
+    # the relay's fixed per-call dispatch cost
     t0 = time.perf_counter()
     jax.block_until_ready(step(scene, jax.random.PRNGKey(999)))
     latency_s = time.perf_counter() - t0
-    # pipelined groups (one block per group)
+    # timed groups: each group is ONE call running STEPS_PER_GROUP steps
+    jax.block_until_ready(multi_step(scene, jax.random.PRNGKey(123)))
     times = []
     for g in range(GROUPS):
         t0 = time.perf_counter()
-        outs = [step(scene, jax.random.PRNGKey(g * 100 + i + 1))
-                for i in range(STEPS_PER_GROUP)]
-        jax.block_until_ready(outs)
+        out = multi_step(scene, jax.random.PRNGKey(g * 100 + 1))
+        jax.block_until_ready(out)
         times.append((time.perf_counter() - t0) / STEPS_PER_GROUP)
     times.sort()
     median = times[len(times) // 2]

@@ -7,8 +7,8 @@ the r2 mfu/bench configs differed and the numbers never reconciled).
 
 Protocol: Cornell box WITH the dielectric glass solids (refraction
 roulette + Beer-Lambert volumes — the hard path), 512x512 pinhole rays,
-15 spectral bins, max_depth 16, wavefront bound 24, stream compaction
-((3,4),(3,4)), reverse-mode rematerialisation per bounce (REMAT_BLOCK=1;
+15 spectral bins, max_depth 16, wavefront bound 24, NO stream compaction,
+reverse-mode rematerialisation per bounce (REMAT_BLOCK=1;
 block-4 remat was measured slower and rejected — see RayConfig.remat_block).
 """
 
@@ -18,7 +18,15 @@ WIDTH = HEIGHT = 512
 BINS = 15
 MAX_DEPTH = 16
 MAX_ITERS = 24
-COMPACT = ((3, 4), (3, 4))
+# round-5 schedule A/B (benchmarks/glue_probe3.json, DEVICE-side cost of
+# the full fwd+bwd step, relay dispatch excluded): none 8.6 ms < ((3,16),)
+# 10.7 < ((3,8),) 13.8 < ((3,4),(3,4)) 16.2. The fused kernels process
+# dead lanes at vector speed, so the sort/gather/scatter compaction
+# machinery (and its transpose in the backward) costs MORE than the dead
+# lanes it removes — compaction off is the measured optimum for this
+# scene. (Compaction still pays off for long low-extinction traces, e.g.
+# the prism/CSG e2e scenes.)
+COMPACT = ()
 # measured on v5e: per-bounce checkpointing beats blocked remat at this
 # batch size (the trace is launch-bound, not HBM-bound — see RayConfig);
 # remat 0 (save-all) measured 72.5 ms vs 66.1 ms, remat 2 88 ms.

@@ -1640,10 +1640,25 @@ _span.defvjp(_span_fwd, _span_bwd)
 
 
 def span_mode():
-    """'multi' (default: whole-span VMEM-resident kernels) or 'perbounce'
-    (round-4 one-kernel-per-bounce path, kept for A/B). Read at trace time
-    so harnesses can flip SOURCE_TPU_SPAN between traces."""
+    """Forward-only span mode: 'multi' (default: whole-span VMEM-resident
+    kernel — one launch per compaction span, per-tile early exit in-kernel)
+    or 'perbounce' (round-4 one-kernel-per-bounce path, kept for A/B).
+    Read at trace time so harnesses can flip SOURCE_TPU_SPAN between
+    traces."""
     return _os.environ.get("SOURCE_TPU_SPAN", "multi")
+
+
+def span_mode_diff():
+    """Differentiable span mode; default 'perbounce'. MEASURED on v5e
+    (benchmarks/span_ab.py, flagship 262k rays): the fwd+bwd step is
+    COMPUTE-bound, not HBM-bound — per-bounce 37.6 ms vs multi 39.8 ms,
+    because the multi backward re-runs the whole forward replay in-kernel
+    (saved per-bounce states are cheaper than recompute at these sizes),
+    while forward-only favours multi (15.05 vs 15.23 ms). SOURCE_TPU_SPAN
+    overrides both paths; SOURCE_TPU_SPAN_DIFF overrides just this one."""
+    return _os.environ.get(
+        "SOURCE_TPU_SPAN_DIFF",
+        _os.environ.get("SOURCE_TPU_SPAN", "perbounce"))
 
 
 def _span_tile():
@@ -1659,6 +1674,17 @@ def _span_bwd_tile():
     return int(_os.environ.get("SOURCE_TPU_SPAN_BWD_TILE", "8"))
 
 
+def rng_mode():
+    """'host' (default): bounce uniforms come from jax.random on the host
+    path — bit-parity with the XLA wavefront tracer, what every parity
+    test compares. 'kernel': the span kernels draw from the TPU hardware
+    PRNG (pltpu.prng_random_bits) seeded per (trace, fwd-tile, bounce) —
+    no threefry pass, no u packing, no u HBM traffic; a
+    different-but-equidistributed stream (estimator still exact MC — the
+    furnace test is stream-independent). Read at trace time."""
+    return _os.environ.get("SOURCE_TPU_RNG", "host")
+
+
 def _load_u(u_ref, i):
     """The 10 per-lane uniforms of bounce ``i`` from the flattened
     (n_steps*10, T, 128) span block."""
@@ -1666,11 +1692,45 @@ def _load_u(u_ref, i):
     return tuple(u[k] for k in range(10))
 
 
-def _span_fwd_kernel(spec, n_steps, tab_ref, o_ref, d_ref, thr_ref, rad_ref,
-                     aux_ref, u_ref, o_out, d_out, thr_out, rad_out, aux_out,
-                     bits_out):
+_RNG_GRAN = 8  # rows per PRNG seeding block (the smallest kernel tile)
+
+
+def _gen_u(seed_ref, my_rows, i):
+    """The 10 per-lane uniforms of bounce ``i`` from the TPU PRNG.
+
+    Draws are seeded per (trace seed, GLOBAL 8-row block, bounce) and
+    generated _RNG_GRAN rows at a time, so forward and backward kernels
+    running at DIFFERENT tile sizes reproduce identical streams (each
+    just generates the 8-row blocks its tile covers)."""
+    reps = my_rows // _RNG_GRAN
+    tile = pl.program_id(0)
+    blocks = []
+    for j in range(reps):
+        blk = tile * reps + j  # global 8-row block index
+        # fold (seed, block, bounce) into ONE i32 (this toolchain's
+        # Mosaic crashes on multi-operand prng_seed); Weyl-style mixing
+        # keeps distinct (block, bounce) pairs on distinct streams
+        mixed = (seed_ref[0]
+                 + (blk + 1) * jnp.int32(-1640531527)  # 0x9E3779B9
+                 + (i + 1) * jnp.int32(747796405)
+                 + seed_ref[1] * jnp.int32(277803737))
+        pltpu.prng_seed(mixed)
+        blocks.append(pltpu.prng_random_bits((10, _RNG_GRAN, _LANES)))
+    bits = blocks[0] if reps == 1 else jnp.concatenate(blocks, axis=1)
+    # logical shift on the raw i32 bits -> 24-bit non-negative ints
+    # (Mosaic has no uint32->f32 cast; i32->f32 is supported)
+    u24 = jax.lax.shift_right_logical(bits.astype(jnp.int32), jnp.int32(8))
+    return tuple(u24[k].astype(jnp.float32) * (1.0 / (1 << 24))
+                 for k in range(10))
+
+
+def _span_fwd_kernel(spec, n_steps, krng, tile_rows, tab_ref, o_ref, d_ref,
+                     thr_ref, rad_ref, aux_ref, u_ref, o_out, d_out, thr_out,
+                     rad_out, aux_out, bits_out):
     B = spec.bins
     tget = lambda k: tab_ref[k]
+    get_u = ((lambda i: _gen_u(u_ref, tile_rows, i)) if krng
+             else (lambda i: _load_u(u_ref, i)))
 
     def bounce(i, c):
         o, d, thr, rad, alivef, depth = c
@@ -1678,7 +1738,7 @@ def _span_fwd_kernel(spec, n_steps, tab_ref, o_ref, d_ref, thr_ref, rad_ref,
             spec, tget,
             {"o": o, "d": d, "thr": thr, "alive": alivef > 0.5,
              "depth": depth},
-            _load_u(u_ref, i), None)
+            get_u(i), None)
         rad2 = tuple(rad[b] + out["rad_delta"][b] for b in range(B))
         return (out["o"], out["d"], out["thr"], rad2,
                 jnp.where(out["alive_next"], 1.0, 0.0),
@@ -1712,12 +1772,13 @@ def _span_fwd_kernel(spec, n_steps, tab_ref, o_ref, d_ref, thr_ref, rad_ref,
     aux_out[1] = depth
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 2))
-def _span_fwd_call(spec, n_steps, tile, tabvec, st, u_flat):
-    """One kernel for the whole span. u_flat: (n_steps*10, R, 128).
-    Returns (final packed state, bits (n_steps, R, 128) i32). ``tile`` is
-    static (read from the env by the caller OUTSIDE jit, so A/B harnesses
-    can flip it between traces — ADVICE r4)."""
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3))
+def _span_fwd_call(spec, n_steps, tile, krng, tabvec, st, u_or_seed):
+    """One kernel for the whole span. ``u_or_seed``: (n_steps*10, R, 128)
+    uniforms (host RNG) or an i32[2] seed (kernel RNG). Returns (final
+    packed state, bits (n_steps, R, 128) i32). ``tile`` is static (read
+    from the env by the caller OUTSIDE jit, so A/B harnesses can flip it
+    between traces — ADVICE r4)."""
     B = spec.bins
     R = st["o"].shape[1]
     T = min(tile, R)
@@ -1727,11 +1788,13 @@ def _span_fwd_call(spec, n_steps, tile, tabvec, st, u_flat):
         return pl.BlockSpec((c, T, _LANES), lambda i: (0, i, 0),
                             memory_space=pltpu.VMEM)
 
+    u_spec = (pl.BlockSpec(memory_space=pltpu.SMEM) if krng
+              else vs(n_steps * 10))
     outs = pl.pallas_call(
-        functools.partial(_span_fwd_kernel, spec, n_steps),
+        functools.partial(_span_fwd_kernel, spec, n_steps, krng, T),
         grid=(R // T,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
-                  vs(3), vs(3), vs(B), vs(B), vs(2), vs(n_steps * 10)],
+                  vs(3), vs(3), vs(B), vs(B), vs(2), u_spec],
         out_specs=(vs(3), vs(3), vs(B), vs(B), vs(2), vs(n_steps)),
         out_shape=(
             jax.ShapeDtypeStruct((3, R, _LANES), jnp.float32),
@@ -1742,20 +1805,22 @@ def _span_fwd_call(spec, n_steps, tile, tabvec, st, u_flat):
             jax.ShapeDtypeStruct((n_steps, R, _LANES), jnp.int32),
         ),
         interpret=_interpret(),
-    )(tabvec, st["o"], st["d"], st["thr"], st["rad"], st["aux"], u_flat)
+    )(tabvec, st["o"], st["d"], st["thr"], st["rad"], st["aux"], u_or_seed)
     o, d, thr, rad, aux, bits = outs
     return {"o": o, "d": d, "thr": thr, "rad": rad, "aux": aux}, bits
 
 
-def _span_bwd_kernel(spec, used, u_rows, n_steps, tab_ref, o_ref, d_ref,
-                     thr_ref, aux_ref, u_ref, bits_ref, go_ref, gd_ref,
-                     gthr_ref, grad_ref, go_out, gd_out, gthr_out, gt_out,
-                     scr):
+def _span_bwd_kernel(spec, used, u_rows, n_steps, krng, my_tile,
+                     tab_ref, o_ref, d_ref, thr_ref, aux_ref, u_ref,
+                     bits_ref, go_ref, gd_ref, gthr_ref, grad_ref, go_out,
+                     gd_out, gthr_out, gt_out, scr):
     B = spec.bins
     SR = 8 + B  # per-bounce saved rows: o(3) d(3) thr(B) alive depth
     tget = lambda k: tab_ref[k]
     zero = jnp.zeros_like(o_ref[0])
     kmap = {k: i for i, k in enumerate(used)}
+    get_u = ((lambda i: _gen_u(u_ref, my_tile, i)) if krng
+             else (lambda i: _load_u(u_ref, i)))
 
     # --- phase 1: replay forward, saving each bounce's ENTRY state -----------
     # The per-tile all-dead skip MIRRORS the forward kernel's: a skipped
@@ -1776,7 +1841,7 @@ def _span_bwd_kernel(spec, used, u_rows, n_steps, tab_ref, o_ref, d_ref,
                 spec, tget,
                 {"o": o2, "d": d2, "thr": thr2, "alive": alivef2 > 0.5,
                  "depth": depth2},
-                _load_u(u_ref, i), bits_ref[pl.ds(i, 1)][0])
+                get_u(i), bits_ref[pl.ds(i, 1)][0])
             return (out["o"], out["d"], out["thr"],
                     jnp.where(out["alive_next"], 1.0, 0.0), out["depth"])
 
@@ -1802,7 +1867,7 @@ def _span_bwd_kernel(spec, used, u_rows, n_steps, tab_ref, o_ref, d_ref,
             thr = tuple(ld(6 + b) for b in range(B))
             alive = alivef > 0.5
             depth = ld(7 + B)
-            u = _load_u(u_ref, i)
+            u = get_u(i)
             bits = bits_ref[pl.ds(i, 1)][0]
             # pre-broadcast used table scalars so vjp cotangents come back
             # per lane (same trick as the per-bounce backward kernel)
@@ -1844,9 +1909,9 @@ def _span_bwd_kernel(spec, used, u_rows, n_steps, tab_ref, o_ref, d_ref,
         gt_out[0, pl.ds(idx, 1)] = jnp.zeros((1, _LANES), jnp.float32)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 2))
-def _span_bwd_call(spec, n_steps, tile, tabvec, st0, u_flat, bits, go, gd,
-                   gthr, g_rad):
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3))
+def _span_bwd_call(spec, n_steps, tile, krng, tabvec, st0, u_flat,
+                   bits, go, gd, gthr, g_rad):
     """Whole-span backward: returns (go, gd, gthr, gt) with gt the per-tile
     table cotangent partials [tiles, U_pad, 128] (summed outside)."""
     B = spec.bins
@@ -1859,11 +1924,14 @@ def _span_bwd_call(spec, n_steps, tile, tabvec, st0, u_flat, bits, go, gd,
         return pl.BlockSpec((c, T, _LANES), lambda i: (0, i, 0),
                             memory_space=pltpu.VMEM)
 
+    u_spec = (pl.BlockSpec(memory_space=pltpu.SMEM) if krng
+              else vs(n_steps * 10))
     return pl.pallas_call(
-        functools.partial(_span_bwd_kernel, spec, used, u_rows, n_steps),
+        functools.partial(_span_bwd_kernel, spec, used, u_rows, n_steps,
+                          krng, T),
         grid=(R // T,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
-                  vs(3), vs(3), vs(B), vs(2), vs(n_steps * 10), vs(n_steps),
+                  vs(3), vs(3), vs(B), vs(2), u_spec, vs(n_steps),
                   vs(3), vs(3), vs(B), vs(B)],
         out_specs=(vs(3), vs(3), vs(B),
                    pl.BlockSpec((1, u_rows, _LANES), lambda i: (i, 0, 0),
@@ -1888,9 +1956,9 @@ def _flat_u(u_all):
 
 
 def _span_multi_fwd_impl(meta, tabvec, st, u_all):
-    spec, n_steps, t_fwd, _t_bwd = meta
-    out, bits = _span_fwd_call(spec, n_steps, t_fwd, tabvec, st,
-                               _flat_u(u_all))
+    spec, n_steps, t_fwd, _t_bwd, krng = meta
+    u = u_all if krng else _flat_u(u_all)
+    out, bits = _span_fwd_call(spec, n_steps, t_fwd, krng, tabvec, st, u)
     seg = jnp.sum(bits & 1, dtype=jnp.int32)
     return (out, seg), (tabvec, u_all, st, bits)
 
@@ -1906,15 +1974,16 @@ def _span_multi_fwd(meta, tabvec, st, u_all):
 
 
 def _span_multi_bwd(meta, res, g):
-    spec, n_steps, t_fwd, t_bwd = meta
+    spec, n_steps, t_fwd, t_bwd, krng = meta
     tabvec, u_all, st0, bits = res
     g_st, _g_seg = g
     used, _u_rows = used_offsets(spec)
+    u = u_all if krng else _flat_u(u_all)
     # the bwd tile must NEST inside the forward span tile: a bwd tile that
     # straddled a skipped (bits=0, all-dead) fwd tile and a live one would
     # vjp the dead lanes' bits=0 state (see _span_bwd_kernel skip note)
     go, gd, gthr, gt = _span_bwd_call(
-        spec, n_steps, min(t_bwd, t_fwd), tabvec, st0, _flat_u(u_all), bits,
+        spec, n_steps, min(t_bwd, t_fwd), krng, tabvec, st0, u, bits,
         g_st["o"], g_st["d"], g_st["thr"], g_st["rad"])
     cot_tab = jnp.zeros_like(tabvec).at[
         jnp.asarray(used, jnp.int32)].add(
@@ -1973,30 +2042,43 @@ def _pack_u(u_all):
     return ut.reshape(n_steps, 10, R, _LANES)
 
 
-def fused_span(scene, spec, state, u_all):
-    """Differentiable fused trace of len(u_all) bounces. Returns RayState."""
+def fused_span(scene, spec, state, u_all=None, seed=None, n_steps=None):
+    """Differentiable fused trace. Host RNG: pass ``u_all`` (n, N, >=10).
+    Kernel RNG: pass ``seed`` (i32[2]) + ``n_steps`` instead (multi span
+    only). Returns RayState."""
     tabvec = pack_tabvec(scene, spec)
     packed, n = _pack_state(state)
-    if span_mode() == "multi":
-        meta = (spec, int(u_all.shape[0]), _span_tile(), _span_bwd_tile())
-        out, seg = _span_multi(meta, tabvec, packed, _pack_u(u_all))
+    krng = u_all is None
+    if krng or span_mode_diff() == "multi":
+        ns = int(n_steps) if krng else int(u_all.shape[0])
+        meta = (spec, ns, _span_tile(), _span_bwd_tile(), krng)
+        u = seed if krng else _pack_u(u_all)
+        out, seg = _span_multi(meta, tabvec, packed, u)
     else:
         out, seg = _span((spec, int(u_all.shape[0])), tabvec, packed,
                          _pack_u(u_all))
     return _unpack_state(out, n, state, seg)
 
 
-def fused_forward_span(scene, spec, state, u_all, early_exit=True):
-    """Forward-only fused trace (no residuals). Returns RayState."""
+def fused_forward_span(scene, spec, state, u_all=None, early_exit=True,
+                       seed=None, n_steps=None):
+    """Forward-only fused trace (no residuals). Host RNG: pass ``u_all``;
+    kernel RNG: pass ``seed`` + ``n_steps``. Returns RayState."""
     tabvec = jax.lax.stop_gradient(pack_tabvec(scene, spec))
     packed, n = _pack_state(state)
+    krng = u_all is None
+    if krng:
+        out, bits = _span_fwd_call(spec, int(n_steps), _span_tile(), True,
+                                   tabvec, packed, seed)
+        seg = jnp.sum(bits & 1, dtype=jnp.int32)
+        return _unpack_state(out, n, state, seg)
     u_p = _pack_u(u_all)
     n_steps = int(u_all.shape[0])
 
     if span_mode() == "multi":
         # whole-span kernel; early exit happens per tile inside the kernel
-        out, bits = _span_fwd_call(spec, n_steps, _span_tile(), tabvec,
-                                   packed, _flat_u(u_p))
+        out, bits = _span_fwd_call(spec, n_steps, _span_tile(), False,
+                                   tabvec, packed, _flat_u(u_p))
         seg = jnp.sum(bits & 1, dtype=jnp.int32)
         return _unpack_state(out, n, state, seg)
 

@@ -798,16 +798,26 @@ def _compact_lanes(st: RayState, divisor: int, lane_ids, radiance_full, key):
     """
     N = st.origin.shape[0]
     M = max(1, N // divisor)
-    r = jax.random.uniform(key, (N,))
-    # one fused sort: alive lanes carry keys in [0,1) (random order for
-    # uniform subsampling under overflow), dead lanes in [2,3) — a single
-    # lax.sort pass replaces lexsort's two argsort passes
-    sort_key = r + jnp.where(st.alive, 0.0, 2.0)
-    _, order = jax.lax.sort(
-        (sort_key, jnp.arange(N, dtype=jnp.int32)), dimension=0, num_keys=1
-    )
-    keep = order[:M]
-    alive_count = jnp.sum(st.alive)
+    # cumsum PARTITION instead of a sort (round-5: the lax.sort pass was
+    # the single largest device-side item of the fwd+bwd step, ~3.3 ms at
+    # 262k lanes — two prefix sums + one scatter are O(N) and ~VPU-free).
+    # Under overflow the survivors are a random ROTATION of the alive
+    # ranks: every alive lane's marginal keep probability is exactly M/A,
+    # so the 1/p reweighting stays unbiased (rotation replaces the old iid
+    # subset — same marginals, different lane correlations).
+    alive = st.alive
+    cnt = jnp.cumsum(alive.astype(jnp.int32))
+    alive_count = cnt[-1]
+    pos_alive = cnt - 1
+    shift = jax.random.randint(key, (), 0, jnp.maximum(alive_count, 1))
+    rank = (pos_alive + shift) % jnp.maximum(alive_count, 1)
+    sel = alive & (rank < M)
+    n_sel = jnp.sum(sel.astype(jnp.int32))
+    dest = jnp.where(sel, rank,
+                     n_sel + jnp.cumsum((~sel).astype(jnp.int32)) - 1)
+    perm = jnp.zeros((N,), jnp.int32).at[dest].set(
+        jnp.arange(N, dtype=jnp.int32))
+    keep = perm[:M]
     overflow_scale = jnp.maximum(alive_count.astype(st.throughput.dtype) / M, 1.0)
     radiance_full = radiance_full.at[lane_ids].set(st.radiance)
     lane_ids = lane_ids[keep]
@@ -828,6 +838,13 @@ def _compact_lanes(st: RayState, divisor: int, lane_ids, radiance_full, key):
     return sub, lane_ids, radiance_full
 
 
+def _kernel_seed(key):
+    """Two i32 scalars derived from a trace key, seeding the span kernels'
+    TPU hardware PRNG (pallas_fused.rng_mode() == 'kernel')."""
+    bits = jax.random.bits(key, (2,), jnp.uint32)
+    return jax.lax.bitcast_convert_type(bits, jnp.int32)
+
+
 def trace_rays(scene: CompiledScene, cfg: RayConfig, state: RayState, key):
     """Trace to termination with an early-exit while loop. Returns final state.
 
@@ -841,19 +858,31 @@ def trace_rays(scene: CompiledScene, cfg: RayConfig, state: RayState, key):
     fspec = _fused_spec_for(scene, cfg)
 
     def run_range(st, start, end):
-        # hoist the whole span's RNG into one kernel (threefry re-entry per
-        # bounce costs both compute and launches inside the serial loop)
         nsteps = end - start
-        u_all = jax.random.uniform(
-            jax.random.fold_in(key, 0x7A000 + start),
-            (nsteps, st.origin.shape[0], n_u), st.origin.dtype,
-        )
+        span_key = jax.random.fold_in(key, 0x7A000 + start)
 
         if fspec is not None:
-            from .pallas_fused import fused_forward_span
+            from .pallas_fused import (
+                fused_forward_span, rng_mode, span_mode,
+            )
 
+            if rng_mode() == "kernel" and span_mode() == "multi":
+                # TPU-PRNG draws inside the span kernel: no threefry pass,
+                # no u packing/HBM traffic (round-5; see pallas_fused)
+                return fused_forward_span(
+                    scene, fspec, st, seed=_kernel_seed(span_key),
+                    n_steps=nsteps, early_exit=cfg.early_exit)
+            u_all = jax.random.uniform(
+                span_key, (nsteps, st.origin.shape[0], n_u),
+                st.origin.dtype)
             return fused_forward_span(scene, fspec, st, u_all,
                                       early_exit=cfg.early_exit)
+
+        # hoist the whole span's RNG into one kernel (threefry re-entry per
+        # bounce costs both compute and launches inside the serial loop)
+        u_all = jax.random.uniform(
+            span_key, (nsteps, st.origin.shape[0], n_u), st.origin.dtype,
+        )
 
         if cfg.early_exit:
             def cond(carry):
@@ -952,17 +981,22 @@ def trace_rays_diff(scene: CompiledScene, cfg: RayConfig, state: RayState, key):
         with the span's RNG hoisted into one upfront kernel."""
         R = max(1, int(cfg.remat_block))
         n = stop - start
-        u_all = jax.random.uniform(
-            jax.random.fold_in(key, 0x7A000 + start),
-            (n, st.origin.shape[0], n_u), st.origin.dtype,
-        )
+        span_key = jax.random.fold_in(key, 0x7A000 + start)
         if fspec is not None:
-            from .pallas_fused import fused_span, general_spec
+            from .pallas_fused import fused_span, general_spec, rng_mode
 
             # fast leaf records are forward-only (their world-space
             # expressions carry different w2l cotangents); differentiate
             # the general representation
+            if rng_mode() == "kernel":
+                return fused_span(scene, general_spec(fspec), st,
+                                  seed=_kernel_seed(span_key), n_steps=n)
+            u_all = jax.random.uniform(
+                span_key, (n, st.origin.shape[0], n_u), st.origin.dtype)
             return fused_span(scene, general_spec(fspec), st, u_all)
+        u_all = jax.random.uniform(
+            span_key, (n, st.origin.shape[0], n_u), st.origin.dtype,
+        )
         full = n // R
         if full:
             st, _ = jax.lax.scan(

@@ -172,8 +172,12 @@ def test_forward_parity_compacted(cornell):
         rtol=1e-3, atol=1e-4)
 
 
-def test_diff_trace_parity(cornell):
-    """trace_rays_diff through the fused span matches the XLA scan."""
+@pytest.mark.parametrize("span", ["perbounce", "multi"])
+def test_diff_trace_parity(span, cornell, monkeypatch):
+    """trace_rays_diff through the fused span matches the XLA scan —
+    for both diff-span kernel flavours (per-bounce is the measured-faster
+    default; multi is the whole-span VMEM-resident kernel)."""
+    monkeypatch.setenv("SOURCE_TPU_SPAN_DIFF", span)
     cfg = _cfg(compact_schedule=((4, 2),))
     o, d = _rays(256, seed=1)
     key = jax.random.PRNGKey(11)
@@ -186,10 +190,14 @@ def test_diff_trace_parity(cornell):
         rtol=1e-3, atol=1e-4)
 
 
-@pytest.mark.parametrize("scene_name", ["cornell", "zoo"])
-def test_gradient_parity(scene_name, cornell, zoo):
+@pytest.mark.parametrize("scene_name,span", [
+    ("cornell", "perbounce"), ("cornell", "multi"), ("zoo", "multi")])
+def test_gradient_parity(scene_name, span, cornell, zoo, monkeypatch):
     """Scene-table cotangents from the hand-structured backward (in-kernel
-    state-cotangent chain + batched table vjp) match XLA autodiff."""
+    state-cotangent chain + in-kernel table cotangents) match XLA autodiff
+    — for both diff-span kernel flavours (zoo on multi: the scene that
+    caught the all-dead-tile bits=0 NaN and the torus quartic guard)."""
+    monkeypatch.setenv("SOURCE_TPU_SPAN_DIFF", span)
     scene = {"cornell": cornell, "zoo": zoo}[scene_name]
     cfg = _cfg(compact_schedule=((4, 2),))
     o, d = _rays(256, seed=2)
