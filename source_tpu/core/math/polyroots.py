@@ -54,7 +54,8 @@ def _quad_components(a, b, c, eps=1e-30):
     r0 = jnp.where(lin, _safe_div(-c, b, eps), _safe_div(q, a, eps))
     r1 = _safe_div(c, q, eps)
     v1 = has_roots & ~lin & (jnp.abs(q) >= eps)
-    v0 = jnp.where(lin, jnp.abs(b) >= eps, has_roots)
+    # boolean algebra, not select: Mosaic rejects vector selects on i1
+    v0 = (lin & (jnp.abs(b) >= eps)) | (~lin & has_roots)
     r1_eff = jnp.where(v1, r1, r0)
     lo = jnp.minimum(r0, r1_eff)
     hi = jnp.maximum(r0, r1_eff)
@@ -125,11 +126,24 @@ def solve_cubic(a, b, c, d):
     return roots, jnp.isfinite(roots)
 
 
+def _acos_poly(x):
+    """Polynomial arccos (Abramowitz & Stegun 4.4.45, |err| < 6.7e-5).
+
+    Mosaic (TPU Pallas) has no acos lowering, and the resolvent-cubic
+    root only needs ~1e-4 accuracy — the quartic's Newton polish restores
+    full f32 precision downstream. Used by BOTH the streaming and kernel
+    torus paths (shared fp route, so their hits agree bit-for-bit)."""
+    ax = jnp.abs(x)
+    p = 1.5707288 + ax * (-0.2121144 + ax * (0.0742610 - 0.0187293 * ax))
+    a = _safe_sqrt(1.0 - ax, ok=(1.0 - ax) > 0.0) * p
+    return jnp.where(x >= 0.0, a, jnp.float32(3.14159265358979) - a)
+
+
 def _cubic_largest(b, c, d):
-    """Largest real root of the monic cubic x^3 + b x^2 + c x + d —
-    fp-identical to the max valid root of ``solve_cubic(1, b, c, d)`` (the
+    """Largest real root of the monic cubic x^3 + b x^2 + c x + d (the
     Cardano single root for disc > 0; the k=0 Viete root — the largest of
-    the three — otherwise) without the stacked axis."""
+    the three — otherwise) without the stacked axis. The Viete branch uses
+    the polynomial arccos above; callers polish downstream."""
     A = c - b * b / 3.0
     B = (2.0 * b * b * b - 9.0 * b * c + 27.0 * d) / 27.0
     disc = (B * B) / 4.0 + (A * A * A) / 27.0
@@ -140,7 +154,7 @@ def _cubic_largest(b, c, d):
     Am = jnp.minimum(A, -1e-24)
     m = 2.0 * _safe_sqrt(-Am / 3.0)
     arg = jnp.clip(_safe_div(3.0 * B, Am * m), -0.999999, 0.999999)
-    theta = jnp.arccos(arg) / 3.0
+    theta = _acos_poly(arg) / 3.0
     return jnp.where(one, single, m * jnp.cos(theta) + shift)
 
 
