@@ -15,7 +15,17 @@ is the rate the SAME program would reach at 100% of HBM bandwidth, so
 tracks (VERDICT r2 #1: one shared config, one defensible fraction).
 
 TPU v5e peaks (public spec): 394 TFLOP/s bf16 MXU, ~98 TFLOP/s f32,
-819 GB/s HBM.
+819 GB/s HBM; VPU elementwise f32 modelled at ~3.9 TFLOP/s (4 ALUs x
+8x128 lanes x ~0.94 GHz).
+
+Round-5 note: the hot path now runs inside Pallas kernels, which XLA's
+cost analysis cannot see into (custom calls report ~zero flops/bytes), so
+this script counts the kernels' work ANALYTICALLY: the shared bounce core
+(and its vjp) is lowered as a standalone XLA function to get flops per
+lane-bounce, multiplied by the lane-bounces the span structure executes;
+kernel HBM traffic is modelled from the block specs. The binding roofline
+for the round-5 program is the VPU (compute-bound — see
+BASELINE.md/glue_probe3).
 
 Usage: python benchmarks/mfu.py          (real TPU)
 Writes benchmarks/mfu.json.
@@ -30,7 +40,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 PEAK_HBM_GBS = 819.0  # v5e
 PEAK_BF16_TFLOPS = 394.0  # v5e MXU
-PEAK_F32_TFLOPS = 98.5  # v5e MXU f32 (bf16/4); VPU elementwise is lower still
+PEAK_F32_TFLOPS = 98.5  # v5e MXU f32 (bf16/4)
+PEAK_VPU_F32_TFLOPS = 3.9  # v5e VPU elementwise estimate (the fused
+# tracer runs on the VPU — no matmuls in the hot path)
 
 
 def main():
@@ -50,7 +62,69 @@ def main():
         lambda s, k: render_batch(s, cfg, o, d, k).segments
     )(scene, key))
 
-    report = {}
+    # --- analytic Pallas-kernel work model --------------------------------
+    from source_tpu.tracer import pallas_fused as pf
+
+    fspec = pf.fused_spec(scene, cfg)
+    gspec = pf.general_spec(fspec)
+    B = fspec.bins
+
+    def _core_flops(spec_):
+        """XLA-counted flops of ONE lane-bounce of the shared bounce core
+        (forward) and of its vjp (backward), lowered standalone."""
+        def fwd1(tab, o3, d3, thr, alivef, depth, u):
+            out = pf._bounce_core(
+                spec_, lambda k: tab[k],
+                {"o": o3, "d": d3, "thr": thr, "alive": alivef > 0.5,
+                 "depth": depth}, u, None)
+            return out["o"], out["d"], out["thr"], out["rad_delta"], out["bits"]
+
+        z = jnp.zeros((1,))
+        args = (jnp.zeros((pf.tab_size(spec_),)), (z,) * 3, (z,) * 3,
+                (z,) * B, z, z, (z,) * 10)
+        c = jax.jit(fwd1).lower(*args).compile().cost_analysis()
+        c = c[0] if isinstance(c, list) else c
+        f_fwd = float(c.get("flops", 0.0))
+
+        def bwd1(tab, o3, d3, thr, alivef, depth, u):
+            def f(o3_, d3_, thr_):
+                out = pf._bounce_core(
+                    spec_, lambda k: tab[k],
+                    {"o": o3_, "d": d3_, "thr": thr_,
+                     "alive": alivef > 0.5, "depth": depth}, u,
+                    jnp.zeros((1,), jnp.int32))
+                return out["o"], out["d"], out["thr"], out["rad_delta"]
+            _, vjp = jax.vjp(f, o3, d3, thr)
+            return vjp(((z,) * 3, (z,) * 3, (z,) * B, (z,) * B))
+
+        c = jax.jit(bwd1).lower(*args).compile().cost_analysis()
+        c = c[0] if isinstance(c, list) else c
+        return f_fwd, float(c.get("flops", 0.0))
+
+    f_fwd_lane, f_bwd_lane = _core_flops(gspec)
+    # lane-bounces per trace from the compaction schedule (full vector
+    # width per bounce — dead lanes compute too)
+    N = o.shape[0]
+    lane_bounces = 0
+    n_left, done = N, 0
+    sched = list(cfg.compact_schedule) + [(cfg.max_iters, 1)]
+    for steps, div in sched:
+        steps = min(steps, cfg.max_iters - done)
+        if steps <= 0:
+            break
+        lane_bounces += steps * n_left
+        done += steps
+        n_left = max(1, n_left // div)
+    pallas_flops = {"forward": f_fwd_lane * lane_bounces,
+                    "fwd_bwd": (2 * f_fwd_lane + f_bwd_lane) * lane_bounces}
+    # kernel HBM traffic model: state once per span boundary + u + bits
+    planes = (2 * (8 + 2 * B + 2) + 10 * cfg.max_iters + cfg.max_iters)
+    pallas_bytes = planes * N * 4.0
+    report = {"model": {
+        "core_flops_per_lane_bounce": {"fwd": f_fwd_lane, "bwd": f_bwd_lane},
+        "lane_bounces": lane_bounces,
+        "vpu_peak_tflops": PEAK_VPU_F32_TFLOPS,
+    }}
     for name, fn in [
         ("forward", lambda s, k: render_batch(s, cfg, o, d, k).radiance),
         ("fwd_bwd", lambda s, k: render_loss_and_grads(s, cfg, o, d, k, target)),
@@ -60,8 +134,9 @@ def main():
         cost = compiled.cost_analysis()
         if isinstance(cost, list):  # older jax returns [dict]
             cost = cost[0]
-        flops = float(cost.get("flops", 0.0))
-        bytes_accessed = float(cost.get("bytes accessed", 0.0))
+        flops = float(cost.get("flops", 0.0)) + pallas_flops[name]
+        bytes_accessed = (float(cost.get("bytes accessed", 0.0))
+                          + pallas_bytes)
 
         out = compiled(scene, key)
         jax.block_until_ready(out)
@@ -74,7 +149,7 @@ def main():
 
         tflops = flops / dt / 1e12
         gbs = bytes_accessed / dt / 1e9
-        flop_frac = tflops / PEAK_F32_TFLOPS
+        flop_frac = tflops / PEAK_VPU_F32_TFLOPS
         bw_frac = gbs / PEAK_HBM_GBS
         seg_rate = segments / dt
         report[name] = {

@@ -75,8 +75,26 @@ def _slab_test(node_lo, node_hi, o, inv_d, t_max):
     return (t_far >= jnp.maximum(t_near, 0.0)) & (t_near < t_max)
 
 
+def _woop_test(v0, v1, v2, o, d, t_min):
+    """Watertight Woop test (tracer/watertight.py — the same component
+    functions the Pallas packet kernels run, so the XLA fallback and the
+    kernels agree bit-for-bit). Returns (t, u, v, front, valid) with NO
+    epsilon pad (mesh.pyx:566-713 semantics)."""
+    from .watertight import woop_setup, woop_tri_test
+
+    s = woop_setup(o[..., 0], o[..., 1], o[..., 2],
+                   d[..., 0], d[..., 1], d[..., 2])
+    return woop_tri_test(
+        s, v0[..., 0], v0[..., 1], v0[..., 2],
+        v1[..., 0], v1[..., 1], v1[..., 2],
+        v2[..., 0], v2[..., 1], v2[..., 2], t_min)
+
+
 def _tri_test(v0, v1, v2, o, d, t_min, tol=1e-6):
-    """Moller-Trumbore. Returns (t, u, v, front, valid)."""
+    """Moller-Trumbore with an epsilon pad. Returns (t, u, v, front,
+    valid). Kept for the DIFFERENTIABLE winner recomputes (smooth u/v/t
+    expressions at the already-selected triangle) and the dense all-pairs
+    MXU path; the traversal hit DECISIONS use ``_woop_test``."""
     e1 = v1 - v0
     e2 = v2 - v0
     p = vmath.cross(d, e2)
@@ -343,7 +361,8 @@ def _mesh_intersect_xla(mesh: MeshTables, origin, direction, t_min, t_max=None):
             v0 = mesh.vertices[tri[:, 0]]
             v1 = mesh.vertices[tri[:, 1]]
             v2 = mesh.vertices[tri[:, 2]]
-            t, u, v, front, valid = _tri_test(v0, v1, v2, origin, direction, t_min)
+            t, u, v, front, valid = _woop_test(v0, v1, v2, origin,
+                                               direction, t_min)
             better = lane & valid & (t < t_best)
             t_best = jnp.where(better, t, t_best)
             tri_best = jnp.where(better, tri_id, tri_best)
@@ -393,7 +412,7 @@ def mesh_hit_count(mesh: MeshTables, origin, direction, t_min):
             tri_id = jnp.clip(first + k, 0, mesh.triangles.shape[0] - 1)
             lane = test_leaf & (k < count)
             tri = mesh.triangles[tri_id]
-            t, u, v, front, valid = _tri_test(
+            t, u, v, front, valid = _woop_test(
                 mesh.vertices[tri[:, 0]], mesh.vertices[tri[:, 1]],
                 mesh.vertices[tri[:, 2]], origin, direction, t_min,
             )

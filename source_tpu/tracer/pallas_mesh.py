@@ -39,6 +39,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .watertight import woop_setup, woop_tri_test
+
 _TILE = 1024  # rays per packet: 8 sublanes x 128 lanes
 _LANES = 128
 
@@ -215,35 +217,22 @@ def _kernel(n_nodes, max_leaf,
         return [jnp.sum(jnp.where(_iota == base + f, row, zeros))
                 for f in range(9)]
 
+    # per-lane Woop watertight setup, computed once per tile (shared fp
+    # route with the XLA fallback's _woop_test — tracer/watertight.py)
+    _wt = woop_setup(ox, oy, oz, dx, dy, dz)
+
     def tri_test(k_first, carry):
         t_best, tri_best, u_best, v_best, f_best, lane_ok = carry
         ax, ay, az, bx, by, bz, cx, cy, cz = read_record(tris_ref, k_first)
-        e1x, e1y, e1z = bx - ax, by - ay, bz - az
-        e2x, e2y, e2z = cx - ax, cy - ay, cz - az
-        # p = d x e2
-        px = dy * e2z - dz * e2y
-        py = dz * e2x - dx * e2z
-        pz = dx * e2y - dy * e2x
-        det = e1x * px + e1y * py + e1z * pz
-        ok = jnp.abs(det) > 1e-12
-        inv = jnp.where(ok, 1.0 / jnp.where(ok, det, 1.0), 0.0)
-        tx, ty, tz = ox - ax, oy - ay, oz - az
-        u = (tx * px + ty * py + tz * pz) * inv
-        # q = t x e1
-        qx = ty * e1z - tz * e1y
-        qy = tz * e1x - tx * e1z
-        qz = tx * e1y - ty * e1x
-        v = (dx * qx + dy * qy + dz * qz) * inv
-        t = (e2x * qx + e2y * qy + e2z * qz) * inv
-        tol = 1e-6
-        valid = (ok & (u >= -tol) & (v >= -tol) & (u + v <= 1.0 + tol)
-                 & (t > t_min) & lane_ok)
+        t, u, v, front, valid = woop_tri_test(
+            _wt, ax, ay, az, bx, by, bz, cx, cy, cz, t_min)
+        valid = valid & lane_ok
         better = valid & (t < t_best)
         t_best = jnp.where(better, t, t_best)
         tri_best = jnp.where(better, k_first, tri_best)
         u_best = jnp.where(better, u, u_best)
         v_best = jnp.where(better, v, v_best)
-        f_best = jnp.where(better, (det > 0.0).astype(jnp.int32), f_best)
+        f_best = jnp.where(better, front.astype(jnp.int32), f_best)
         return t_best, tri_best, u_best, v_best, f_best, lane_ok
 
     def body(carry):
@@ -419,33 +408,22 @@ def _paged_kernel(max_leaf,
         return [jnp.sum(jnp.where(_iota == base + f, row, zeros))
                 for f in range(9)]
 
+    # per-lane Woop watertight setup, computed once per tile (shared fp
+    # route with the XLA fallback's _woop_test — tracer/watertight.py)
+    _wt = woop_setup(ox, oy, oz, dx, dy, dz)
+
     def tri_test(k_first, carry):
         t_best, tri_best, u_best, v_best, f_best, lane_ok = carry
         ax, ay, az, bx, by, bz, cx, cy, cz = read_record(tris_ref, k_first)
-        e1x, e1y, e1z = bx - ax, by - ay, bz - az
-        e2x, e2y, e2z = cx - ax, cy - ay, cz - az
-        px = dy * e2z - dz * e2y
-        py = dz * e2x - dx * e2z
-        pz = dx * e2y - dy * e2x
-        det = e1x * px + e1y * py + e1z * pz
-        ok = jnp.abs(det) > 1e-12
-        inv = jnp.where(ok, 1.0 / jnp.where(ok, det, 1.0), 0.0)
-        tx, ty, tz = ox - ax, oy - ay, oz - az
-        u = (tx * px + ty * py + tz * pz) * inv
-        qx = ty * e1z - tz * e1y
-        qy = tz * e1x - tx * e1z
-        qz = tx * e1y - ty * e1x
-        v = (dx * qx + dy * qy + dz * qz) * inv
-        t = (e2x * qx + e2y * qy + e2z * qz) * inv
-        tol = 1e-6
-        valid = (ok & (u >= -tol) & (v >= -tol) & (u + v <= 1.0 + tol)
-                 & (t > t_min) & lane_ok)
+        t, u, v, front, valid = woop_tri_test(
+            _wt, ax, ay, az, bx, by, bz, cx, cy, cz, t_min)
+        valid = valid & lane_ok
         better = valid & (t < t_best)
         t_best = jnp.where(better, t, t_best)
         tri_best = jnp.where(better, k_first, tri_best)
         u_best = jnp.where(better, u, u_best)
         v_best = jnp.where(better, v, v_best)
-        f_best = jnp.where(better, (det > 0.0).astype(jnp.int32), f_best)
+        f_best = jnp.where(better, front.astype(jnp.int32), f_best)
         return t_best, tri_best, u_best, v_best, f_best, lane_ok
 
     def body(carry):
