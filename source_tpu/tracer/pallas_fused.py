@@ -34,6 +34,17 @@ Architecture — one shared pure function, three consumers:
 
 ``_span`` (custom_vjp) runs a whole compaction stage of bounces this way;
 ``wavefront.trace_rays``/``trace_rays_diff`` route eligible scenes here.
+
+Round 5 adds WHOLE-SPAN kernels (``_span_fwd_call``/``_span_bwd_call``):
+the bounce loop runs inside one Pallas kernel per compaction span (state
+VMEM-resident, per-tile early exit, only choice bitfields touch HBM), the
+backward replays the span in-kernel and chains ``jax.vjp`` in reverse,
+and bounce uniforms can come from the TPU hardware PRNG
+(``SOURCE_TPU_RNG=kernel``). Forward-only tracing defaults to the span
+kernel; the differentiable path defaults to the per-bounce kernels —
+MEASURED faster on v5e because the step is compute-bound and the span
+backward pays a full forward replay (see ``span_mode``/``span_mode_diff``
+and BASELINE.md round 5).
 """
 
 from __future__ import annotations
