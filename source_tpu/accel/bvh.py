@@ -95,20 +95,36 @@ def _load_native():
 
 
 def _build_numpy(tri_lo, tri_hi, max_leaf):
-    """Median-split fallback with the identical threaded output format."""
+    """Median-split fallback with the identical threaded output format.
+
+    Traversal uses an explicit ``Stack`` (core/containers.py) instead of
+    Python recursion: a degenerate input (all centroids coincident) makes
+    the median split depth O(T/max_leaf), which would overflow the
+    interpreter's recursion limit long before it exhausts memory.
+    """
+    from ..core.containers import Stack
+
     n = tri_lo.shape[0]
     cent = 0.5 * (tri_lo + tri_hi)
     order = np.arange(n, dtype=np.int32)
     node_lo, node_hi, node_skip, node_first, node_count = [], [], [], [], []
 
-    def rec(first, count):
+    # ("enter", first, count) emits a node and schedules its children;
+    # ("exit", idx) threads the skip pointer once the subtree is complete.
+    stack = Stack()
+    stack.push(("enter", 0, n))
+    while not stack.is_empty():
+        item = stack.pop()
+        if item[0] == "exit":
+            node_skip[item[1]] = len(node_lo)
+            continue
+        _, first, count = item
         idx = len(node_lo)
         ids = order[first:first + count]
-        lo = tri_lo[ids].min(axis=0)
-        hi = tri_hi[ids].max(axis=0)
-        node_lo.append(lo)
-        node_hi.append(hi)
+        node_lo.append(tri_lo[ids].min(axis=0))
+        node_hi.append(tri_hi[ids].max(axis=0))
         node_skip.append(0)
+        stack.push(("exit", idx))
         if count <= max_leaf:
             node_first.append(first)
             node_count.append(count)
@@ -119,11 +135,10 @@ def _build_numpy(tri_lo, tri_hi, max_leaf):
             key = np.argsort(cent[ids, axis], kind="stable")
             order[first:first + count] = ids[key]
             mid = count // 2
-            rec(first, mid)
-            rec(first + mid, count - mid)
-        node_skip[idx] = len(node_lo)
-
-    rec(0, n)
+            # LIFO: push right before left so the left subtree emits first
+            # (preserves the recursive preorder node layout exactly)
+            stack.push(("enter", first + mid, count - mid))
+            stack.push(("enter", first, mid))
     return FlatBVH(
         node_lo=np.asarray(node_lo, np.float32),
         node_hi=np.asarray(node_hi, np.float32),

@@ -1,8 +1,12 @@
 """Container classes: LinkedList, Stack, Queue.
 
 Counterparts of raysect/core/containers.pyx:49-309. The reference uses
-these in Cython hot loops; here they are host-side conveniences (device
-code uses fixed-shape arrays instead), provided for API parity.
+these in Cython hot loops; here device code uses fixed-shape arrays
+instead, and these serve the host-side builders: ``Stack`` drives the
+recursion-free BVH construction (accel/bvh.py:_build_numpy) and the
+scenegraph pretty-printer (core/scenegraph/node.py:print_scenegraph),
+both of which must survive degenerate inputs deeper than the
+interpreter's recursion limit.
 """
 
 from __future__ import annotations

@@ -478,10 +478,22 @@ class World(NodeBase):
 
 
 def print_scenegraph(node, indent=0):
-    """Pretty-print a scenegraph subtree (scenegraph/utility.pyx:39)."""
-    lines = [" " * indent + repr(node)]
-    for child in node.children:
-        lines.append(print_scenegraph(child, indent + 2))
+    """Pretty-print a scenegraph subtree (scenegraph/utility.pyx:39).
+
+    Iterative preorder via ``Stack`` (core/containers.py) — deep bridge
+    chains (procedurally generated scenegraphs) must not hit the
+    interpreter recursion limit.
+    """
+    from ..containers import Stack
+
+    lines = []
+    stack = Stack()
+    stack.push((node, indent))
+    while not stack.is_empty():
+        n, ind = stack.pop()
+        lines.append(" " * ind + repr(n))
+        for child in reversed(n.children):
+            stack.push((child, ind + 2))
     text = "\n".join(lines)
     if indent == 0:
         print(text)
